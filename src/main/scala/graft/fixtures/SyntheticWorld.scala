@@ -1,0 +1,148 @@
+package graft.fixtures
+
+import graft.geo.Geo
+import graft.model._
+
+/** Deterministic synthetic world: an R x C street grid with tagged levels,
+  * one-way streets, rail lines, station nodes, route relations, turn
+  * restrictions, a GTFS feed whose trips run along grid lines, and a
+  * georeferenced image+caption table. Everything derives from (rows, cols,
+  * seed) — no external data.
+  *
+  * The tag vocabulary mirrors what the reference's default filter config
+  * keeps (/root/reference/pfaedle.cfg: highway/railway levels, oneway,
+  * public_transport=stop_position, route relations with ref/from/to/colour,
+  * type=restriction) so our filter operators have realistic input.
+  */
+object SyntheticWorld {
+  // grid origin (Freiburg-ish, the reference's home town) and spacing
+  val Lat0 = 48.0
+  val Lon0 = 7.8
+  val SpacingM = 200.0
+
+  def nodeId(r: Int, c: Int, cols: Int): Long = (r.toLong * cols + c) + 1L
+
+  def latOf(r: Int): Double = Lat0 + r * SpacingM / Geo.MPerDeg
+  def lonOf(c: Int): Double = Lon0 + c * SpacingM / (Geo.MPerDeg * Geo.latLngDistFactor(Lat0))
+
+  /** Deterministic hash-based PRN in [0,1) from a seed and ids. */
+  def rnd(seed: Long, a: Long, b: Long = 0): Double = {
+    var h = seed * 0x9e3779b97f4a7c15L + a * 0xc2b2ae3d27d4eb4fL + b * 0x165667b19e3779f9L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    (h >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  case class World(nodes: Seq[OsmNode], ways: Seq[OsmWay], rels: Seq[OsmRel],
+                   stops: Seq[GtfsStop], routes: Seq[GtfsRoute], trips: Seq[GtfsTrip],
+                   stopTimes: Seq[GtfsStopTime], truthShapes: Seq[GtfsShapePt])
+
+  /** Build a world. Every 2nd row is a one-way street (eastbound), every
+    * 4th row is rail; vertical streets are two-way residential; station
+    * nodes every `stopEvery` columns on bus rows. Trips run along rows. */
+  def build(rows: Int, cols: Int, seed: Long = 42L,
+            stopEvery: Int = 3, tripsPerRoute: Int = 2): World = {
+    require(rows >= 2 && cols >= 4)
+    val nodes = scala.collection.mutable.ArrayBuffer[OsmNode]()
+    for (r <- 0 until rows; c <- 0 until cols) {
+      val id = nodeId(r, c, cols)
+      val isStation = r % 2 == 0 && r % 4 != 0 && c % stopEvery == 0
+      val tags: Map[String, String] =
+        if (isStation)
+          Map("public_transport" -> "stop_position", "name" -> s"Stop $r/$c", "bus" -> "yes")
+        else if (rnd(seed, id) < 0.05)
+          Map("crossing" -> "traffic_signals") // noise tags, must be dropped by keep-filter
+        else Map.empty[String, String]
+      nodes += OsmNode(id, latOf(r), lonOf(c), tags)
+    }
+    // a few far-away outlier nodes (outside any bbox — F1 must drop them)
+    for (k <- 0 until math.max(1, rows / 2)) {
+      nodes += OsmNode(1000000L + k, -30.0 + k, 100.0 + k, Map("highway" -> "primary"))
+    }
+
+    val ways = scala.collection.mutable.ArrayBuffer[OsmWay]()
+    var wid = 10000L
+    // horizontal ways: one way per row spanning all columns
+    val rowWayId = new Array[Long](rows)
+    for (r <- 0 until rows) {
+      wid += 1; rowWayId(r) = wid
+      val nds = (0 until cols).map(c => nodeId(r, c, cols)).toArray
+      val tags: Map[String, String] =
+        if (r % 4 == 0) Map("railway" -> "rail", "name" -> s"Rail $r")
+        else if (r % 2 == 0) Map("highway" -> "secondary", "name" -> s"East St $r")
+        else Map("highway" -> "secondary", "oneway" -> "yes", "name" -> s"OneWay St $r")
+      ways += OsmWay(wid, tags, nds)
+    }
+    // vertical ways: one per column
+    val colWayId = new Array[Long](cols)
+    for (c <- 0 until cols) {
+      wid += 1; colWayId(c) = wid
+      val nds = (0 until rows).map(r => nodeId(r, c, cols)).toArray
+      ways += OsmWay(wid, Map("highway" -> "residential", "name" -> s"North Ave $c"), nds)
+    }
+    // an ignored way (no matching keep tag)
+    wid += 1
+    ways += OsmWay(wid, Map("waterway" -> "river"), Array(nodeId(0, 0, cols), nodeId(0, 1, cols)))
+
+    // relations: one bus route per even (non-rail) row + a couple of restrictions
+    val rels = scala.collection.mutable.ArrayBuffer[OsmRel]()
+    var rid = 50000L
+    val busRows = (0 until rows).filter(r => r % 2 == 0 && r % 4 != 0)
+    for (r <- busRows) {
+      rid += 1
+      rels += OsmRel(rid,
+        Map("type" -> "route", "route" -> "bus", "ref" -> s"L$r",
+          "from" -> s"Stop $r/0", "to" -> s"Stop $r/${(cols - 1) / stopEvery * stopEvery}",
+          "colour" -> (if (r % 3 == 0) "#ff0000" else "#0066cc")),
+        Array(OsmMember(rowWayId(r), 1, "")))
+    }
+    // turn restrictions: no left from row-way onto col-way at a mid node
+    for (r <- busRows.take(2)) {
+      val c = cols / 2
+      rid += 1
+      rels += OsmRel(rid,
+        Map("type" -> "restriction", "restriction" -> "no_left_turn"),
+        Array(OsmMember(rowWayId(r), 1, "from"),
+              OsmMember(nodeId(r, c, cols), 0, "via"),
+              OsmMember(colWayId(c), 1, "to")))
+    }
+
+    // GTFS: stops sit ~25 m south of their station node (snap must find edge)
+    val stopIds = scala.collection.mutable.LinkedHashMap[(Int, Int), String]()
+    val stops = scala.collection.mutable.ArrayBuffer[GtfsStop]()
+    for (r <- busRows; c <- 0 until cols if c % stopEvery == 0) {
+      val sid = s"S${r}_$c"
+      stopIds((r, c)) = sid
+      stops += GtfsStop(sid, s"Stop $r/$c",
+        latOf(r) - 25.0 / Geo.MPerDeg,
+        lonOf(c) + (rnd(seed, r, c) - 0.5) * 10.0 / Geo.MPerDeg,
+        "", "", 0)
+    }
+
+    val routes = scala.collection.mutable.ArrayBuffer[GtfsRoute]()
+    val trips = scala.collection.mutable.ArrayBuffer[GtfsTrip]()
+    val stopTimes = scala.collection.mutable.ArrayBuffer[GtfsStopTime]()
+    val truthShapes = scala.collection.mutable.ArrayBuffer[GtfsShapePt]()
+    for (r <- busRows) {
+      val routeId = s"R$r"
+      routes += GtfsRoute(routeId, s"L$r", s"Line $r", 3, 0xff0000, 0xffffff)
+      val cs = (0 until cols).filter(_ % stopEvery == 0)
+      for (t <- 0 until tripsPerRoute) {
+        val tripId = s"T${r}_$t"
+        trips += GtfsTrip(tripId, routeId, "SVC1", null, s"L$r")
+        var time = 8 * 3600 + t * 600
+        for ((c, i) <- cs.zipWithIndex) {
+          val dist = (c * SpacingM).toFloat
+          stopTimes += GtfsStopTime(tripId, i, stopIds((r, c)), time, time + 30, dist)
+          // 30 km/h between stops
+          time += 30 + (stopEvery * SpacingM / (30.0 / 3.6)).toInt
+        }
+      }
+      // ground-truth shape: straight along the row
+      for (c <- 0 until cols)
+        truthShapes += GtfsShapePt(s"SHP_R$r", c, latOf(r), lonOf(c), (c * SpacingM).toFloat)
+    }
+
+    World(nodes.toSeq, ways.toSeq, rels.toSeq, stops.toSeq, routes.toSeq,
+      trips.toSeq, stopTimes.toSeq, truthShapes.toSeq)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.osm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+import graft.geo.Geo
+
+/** OSM -> routable transit graph as a declarative DataFrame DAG — the Spark
+  * recast of the reference's 4-pass streaming OsmBuilder
+  * (/root/reference/src/pfaedle/osm/OsmBuilder.cpp:80-216). Each reference
+  * pass becomes a join: pass 1 (bbox node ids) = a filter; pass 2 (kept
+  * rels/restrictions) = tag filters; pass 3 (edges) = posexplode+join+window;
+  * pass 4 (geoms/stations) = projections. Catalyst handles predicate pushdown
+  * and column pruning; every join key is an equi-key so AQE can pick
+  * broadcast sides at runtime.
+  *
+  * Scale notes (100 TB design): nodes/ways are the big tables here; the
+  * pipeline touches them with scan->filter->explode->equi-join only. The
+  * way->node join shuffles on node id (unavoidable, same as any OSM
+  * distiller); everything downstream operates on the *filtered* graph which
+  * is orders of magnitude smaller than the input.
+  */
+object GraphBuilder {
+
+  /** Catalyst predicate for "any rule matches tags" (F2). Expands the small
+    * rule list into an OR of map lookups — plain expressions, fully
+    * codegen'd and pushdown-friendly (vs an opaque UDF). */
+  def tagMatches(tagsCol: org.apache.spark.sql.Column, rules: Seq[TagRule]): org.apache.spark.sql.Column =
+    rules.map { r =>
+      if (r.value == "*") tagsCol.getItem(r.key).isNotNull
+      else tagsCol.getItem(r.key) === lit(r.value)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** First-matching level classifier (F3): when/otherwise chain. */
+  def levelOf(tagsCol: org.apache.spark.sql.Column, rules: Seq[(TagRule, Int)]): org.apache.spark.sql.Column =
+    rules.foldRight(lit(7): org.apache.spark.sql.Column) { case ((r, lvl), acc) =>
+      when(tagsCol.getItem(r.key) === lit(r.value), lit(lvl)).otherwise(acc)
+    }
+
+  case class BBox(latMin: Double, lonMin: Double, latMax: Double, lonMax: Double) {
+    def pad(padM: Double): BBox = {
+      val dLat = padM / Geo.MPerDeg
+      val dLon = padM / (Geo.MPerDeg * math.max(0.1, Geo.latLngDistFactor((latMin + latMax) / 2)))
+      BBox(latMin - dLat, lonMin - dLon, latMax + dLat, lonMax + dLon)
+    }
+  }
+
+  /** Feed bbox from stops (A1): min/max aggregation. */
+  def feedBBox(stops: DataFrame): BBox = {
+    val r = stops.agg(min("lat"), min("lng"), max("lat"), max("lng")).head()
+    BBox(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  case class GraphTables(nodes: DataFrame, edges: DataFrame, stations: DataFrame,
+                         restrictions: DataFrame, transitLines: DataFrame,
+                         wayLines: DataFrame)
+
+  /** Full graph build. Inputs are osm_nodes / osm_ways / osm_rels DataFrames
+    * (FIXTURES.md §2 schemas). */
+  def build(spark: SparkSession, osmNodes: DataFrame, osmWays: DataFrame,
+            osmRels: DataFrame, bbox: BBox, cfg: OsmConfig): GraphTables = {
+    import spark.implicits._
+
+    // ---- F1: bbox node filter (predicate pushes to the scan) ----
+    val bboxNodes = osmNodes
+      .filter($"lat" >= bbox.latMin && $"lat" <= bbox.latMax &&
+              $"lon" >= bbox.lonMin && $"lon" <= bbox.lonMax)
+
+    // ---- F2 + J1: kept ways = tag match AND >=1 member node in bbox ----
+    val taggedWays = osmWays.filter(tagMatches($"tags", cfg.keepWays))
+    val wayNodePairs = taggedWays
+      .select($"id".as("way_id"), $"tags", posexplode($"nodes").as(Seq("pos", "node_id")))
+    // left_semi against bbox node ids keeps ways with any member inside
+    // (reference: OsmIdSet bloom semi-join, OsmBuilder.cpp:623-637)
+    val keptWayIds = wayNodePairs
+      .join(bboxNodes.select($"id".as("node_id")), Seq("node_id"), "left_semi")
+      .select($"way_id").distinct()
+
+    // ---- J2: resolve node coords, consecutive pairs -> edges ----
+    val resolved = wayNodePairs
+      .join(keptWayIds, Seq("way_id"), "left_semi")
+      .join(bboxNodes.select($"id".as("node_id"), $"lat", $"lon"), Seq("node_id"))
+    val w = Window.partitionBy($"way_id").orderBy($"pos")
+    val edgesRaw = resolved
+      .withColumn("to_id", lead($"node_id", 1).over(w))
+      .withColumn("to_lat", lead($"lat", 1).over(w))
+      .withColumn("to_lon", lead($"lon", 1).over(w))
+      .filter($"to_id".isNotNull)
+      .withColumn("lvl", levelOf($"tags", cfg.levelRules))
+      .withColumn("oneway",
+        when(tagMatches($"tags", cfg.onewayRules), lit(1))
+          .when(tagMatches($"tags", cfg.onewayRevRules), lit(2))
+          .otherwise(lit(0)))
+      .withColumn("len_m", haversineM($"lat", $"lon", $"to_lat", $"to_lon"))
+      // deterministic edge id: way id in high bits, position in low
+      .withColumn("edge_id", ($"way_id" * lit(65536L)) + $"pos")
+      .select($"edge_id", $"way_id", $"pos",
+        $"node_id".as("from_id"), $"to_id",
+        $"lat".as("from_lat"), $"lon".as("from_lon"), $"to_lat", $"to_lon",
+        $"len_m", $"lvl", $"oneway")
+
+    // ---- G8 cost from level speed, fixed-point decisecond (4.10) ----
+    val speeds = cfg.levelSpeedsKmh.map(_ / 3.6) // m/s per level
+    val speedCol = speeds.zipWithIndex.foldRight(lit(speeds.last): org.apache.spark.sql.Column) {
+      case ((s, i), acc) => when($"lvl" === i, lit(s)).otherwise(acc)
+    }
+    val costToIntUdf = udf((sec: Double) => Geo.costToInt(sec))
+    val edgesCost = edgesRaw
+      .withColumn("cost10", costToIntUdf($"len_m" / speedCol))
+
+    // ---- cells: cover the edge bbox at cfg.cellRes (spatial index column) ----
+    val edges = edgesCost.withColumn("cells",
+      gcellsCover(least($"from_lat", $"to_lat"), least($"from_lon", $"to_lon"),
+        greatest($"from_lat", $"to_lat"), greatest($"from_lon", $"to_lon"), cfg.cellRes))
+
+    // ---- station nodes (F4 station predicate) ----
+    val stations = bboxNodes
+      .filter(tagMatches($"tags", cfg.stationRules))
+      .select($"id".as("node_id"), $"lat", $"lon",
+        $"tags".getItem("name").as("name"),
+        gcell($"lat", $"lon", cfg.cellRes).as("cell"))
+
+    // ---- graph nodes: endpoints of kept edges + degree + cell ----
+    val nodeIds = edges.select($"from_id".as("node_id"))
+      .unionByName(edges.select($"to_id".as("node_id"))).distinct()
+    val nodes = nodeIds
+      .join(bboxNodes.select($"id".as("node_id"), $"lat", $"lon"), Seq("node_id"))
+      .withColumn("cell", gcell($"lat", $"lon", cfg.cellRes))
+
+    // ---- J3 + G7: restrictions from type=restriction relations ----
+    // members: array<struct<ref:long, mtype:byte/int, role:string>>
+    val restRels = osmRels.filter($"tags".getItem("type") === "restriction")
+      .withColumn("positive",
+        $"tags".getItem("restriction").startsWith("only_"))
+    val restrictions = restRels.select($"id", $"positive",
+        expr("filter(members, m -> m.role = 'from' AND m.mtype = 1)[0].ref").as("from_way"),
+        expr("filter(members, m -> m.role = 'via' AND m.mtype = 0)[0].ref").as("via_node"),
+        expr("filter(members, m -> m.role = 'to' AND m.mtype = 1)[0].ref").as("to_way"))
+      .filter($"from_way".isNotNull && $"via_node".isNotNull && $"to_way".isNotNull)
+      .select($"via_node", $"from_way", $"to_way", $"positive")
+
+    // ---- transit line relations (OsmBuilder.cpp:1316-1395): interned dim ----
+    val routeRels = osmRels.filter($"tags".getItem("type") === "route")
+      .select($"id".as("rel_id"),
+        $"tags".getItem("ref").as("short_name"),
+        $"tags".getItem("from").as("from_str"),
+        $"tags".getItem("to").as("to_str"),
+        $"tags".getItem("colour").as("colour"),
+        expr("transform(filter(members, m -> m.mtype = 1), m -> m.ref)").as("way_ids"))
+    val lineDim = routeRels
+      .select($"short_name", $"from_str", $"to_str", $"colour").distinct()
+      .withColumn("line_id", row_number().over(
+        Window.orderBy($"short_name", $"from_str", $"to_str")).cast("int"))
+    val wayLines = routeRels
+      .join(lineDim, Seq("short_name", "from_str", "to_str", "colour"))
+      .select(explode($"way_ids").as("way_id"), $"line_id")
+      .distinct()
+
+    GraphTables(nodes, edges, stations, restrictions, lineDim, wayLines)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.osm
+
+/** Keep/level/oneway rule config — the engine analog of the reference's
+  * per-MOT OsmReadOpts built from pfaedle.cfg
+  * (/root/reference/src/pfaedle/osm/OsmFilter.cpp:33-143 semantics: k=v rules,
+  * `*` wildcard value, first-matching level filter of 8 levels). Values are
+  * our own defaults, not copied from the reference config. */
+case class TagRule(key: String, value: String) { // value "*" = any
+  def matches(tags: Map[String, String]): Boolean =
+    tags.get(key).exists(v => value == "*" || v == value)
+}
+
+case class OsmConfig(
+    /** ways kept iff any rule matches (F2) */
+    keepWays: Seq[TagRule],
+    /** ordered level classifier: first match wins -> lvl 0..7 (F3) */
+    levelRules: Seq[(TagRule, Int)],
+    /** km/h per level, used for edge cost (G8 writeGeoms+cost) */
+    levelSpeedsKmh: Array[Double],
+    /** oneway predicates (F4) */
+    onewayRules: Seq[TagRule],
+    onewayRevRules: Seq[TagRule],
+    /** station node predicate (F4) */
+    stationRules: Seq[TagRule],
+    /** max stop->edge snap distance, meters (cfg max_snap_distance) */
+    maxSnapDistanceM: Double = 300.0,
+    /** grid resolution for the cell index (~2.4 km at 12, matches the
+      * reference's 2000 m grid) */
+    cellRes: Int = 12,
+    /** bbox padding around the feed, meters (cfg bbox padding) */
+    bboxPaddingM: Double = 2500.0,
+    /** full-turn penalty seconds + angle (Weights.cpp:136-155 semantics) */
+    fullTurnPenaltySec: Double = 30.0,
+    fullTurnAngleDeg: Double = 58.0,
+    /** penalty factor applied to snap distance (emission weight k) */
+    distPenFactor: Double = 0.1,
+    /** non-station-candidate penalty seconds */
+    nonStationPenaltySec: Double = 10.0,
+    /** transition cost factor: expected = schedule seconds; pen per
+      * surplus second (ExpoTransWeight analog) */
+    transitionPenalty: Double = 0.1)
+
+object OsmConfig {
+  /** Bus-profile defaults (our own vocabulary, reference-like shape). */
+  val bus: OsmConfig = OsmConfig(
+    keepWays = Seq(TagRule("highway", "motorway"), TagRule("highway", "trunk"),
+      TagRule("highway", "primary"), TagRule("highway", "secondary"),
+      TagRule("highway", "tertiary"), TagRule("highway", "unclassified"),
+      TagRule("highway", "residential"), TagRule("highway", "service"),
+      TagRule("highway", "living_street")),
+    levelRules = Seq(
+      TagRule("highway", "motorway") -> 0, TagRule("highway", "trunk") -> 1,
+      TagRule("highway", "primary") -> 2, TagRule("highway", "secondary") -> 3,
+      TagRule("highway", "tertiary") -> 4, TagRule("highway", "unclassified") -> 5,
+      TagRule("highway", "residential") -> 5, TagRule("highway", "service") -> 6,
+      TagRule("highway", "living_street") -> 7),
+    levelSpeedsKmh = Array(85, 70, 55, 40, 30, 20, 10, 5),
+    onewayRules = Seq(TagRule("oneway", "yes"), TagRule("oneway", "true"), TagRule("oneway", "1")),
+    onewayRevRules = Seq(TagRule("oneway", "-1"), TagRule("oneway", "reverse")),
+    stationRules = Seq(TagRule("public_transport", "stop_position"),
+      TagRule("highway", "bus_stop")))
+
+  /** Rail-profile defaults. */
+  val rail: OsmConfig = bus.copy(
+    keepWays = Seq(TagRule("railway", "rail"), TagRule("railway", "light_rail"),
+      TagRule("railway", "narrow_gauge"), TagRule("railway", "tram")),
+    levelRules = Seq(TagRule("railway", "rail") -> 0, TagRule("railway", "light_rail") -> 1,
+      TagRule("railway", "narrow_gauge") -> 2, TagRule("railway", "tram") -> 3),
+    levelSpeedsKmh = Array(120, 90, 60, 40, 30, 20, 10, 5),
+    onewayRules = Seq.empty, onewayRevRules = Seq.empty,
+    stationRules = Seq(TagRule("railway", "station"), TagRule("railway", "halt"),
+      TagRule("public_transport", "stop_position")))
+}

@@ -1,0 +1,215 @@
+package graft.router
+
+import graft.geo.Geo
+
+/** Compact primitive-array road graph — the broadcastable analog of the
+  * reference's in-memory trgraph::Graph
+  * (/root/reference/src/pfaedle/trgraph/Graph.h:24-28). Built once from the
+  * edges DataFrame, serialized to executors via a Spark broadcast; all
+  * matcher kernels route over it without touching Spark rows.
+  *
+  * Directed expansion: stored (undirected-with-flags) edge i yields directed
+  * edge 2*i (forward, from->to, unless oneway=2) and 2*i+1 (backward,
+  * to->from, unless oneway=1) — the reference's writeODirEdgs
+  * (/root/reference/src/pfaedle/osm/OsmBuilder.cpp:1697-1706).
+  */
+class CompactGraph(
+    val edgeIds: Array[Long], // stable external edge ids
+    val edgeFrom: Array[Long], // node ids
+    val edgeTo: Array[Long],
+    val cost10: Array[Long], // decisecond fixed point per stored edge
+    val lenM: Array[Double],
+    val oneway: Array[Int], // 0 both, 1 fwd only, 2 rev only
+    val wayId: Array[Long],
+    val geomLat: Array[Array[Double]], // polyline per stored edge (>= 2 pts)
+    val geomLon: Array[Array[Double]],
+    val edgeLines: Array[Array[Int]], // interned transit line ids per edge
+    restrictionsIn: Array[(Long, Long, Long, Boolean)] // (via, fromWay, toWay, positive)
+) extends Serializable {
+
+  val numEdges: Int = edgeFrom.length
+
+  /** external edge id -> dense index */
+  val edgeIndex: java.util.HashMap[Long, Int] = {
+    val m = new java.util.HashMap[Long, Int](numEdges * 2)
+    var i = 0
+    while (i < numEdges) { m.put(edgeIds(i), i); i += 1 }
+    m
+  }
+
+  /** node id -> dense node index */
+  val nodeIndex: java.util.HashMap[Long, Int] = {
+    val m = new java.util.HashMap[Long, Int]()
+    var i = 0
+    while (i < numEdges) {
+      if (!m.containsKey(edgeFrom(i))) m.put(edgeFrom(i), m.size)
+      if (!m.containsKey(edgeTo(i))) m.put(edgeTo(i), m.size)
+      i += 1
+    }
+    m
+  }
+  val numNodes: Int = nodeIndex.size
+
+  @inline def dirFrom(de: Int): Long = if ((de & 1) == 0) edgeFrom(de >> 1) else edgeTo(de >> 1)
+  @inline def dirTo(de: Int): Long = if ((de & 1) == 0) edgeTo(de >> 1) else edgeFrom(de >> 1)
+  @inline def dirAllowed(de: Int): Boolean = {
+    val ow = oneway(de >> 1)
+    if ((de & 1) == 0) ow != 2 else ow != 1
+  }
+  @inline def dirCost10(de: Int): Long = cost10(de >> 1)
+
+  /** CSR adjacency: directed edges leaving each node (by dense index). */
+  val (adjOffsets, adjEdges) = {
+    val counts = new Array[Int](numNodes + 1)
+    var i = 0
+    while (i < numEdges) {
+      if (oneway(i) != 2) counts(nodeIndex.get(edgeFrom(i)) + 1) += 1
+      if (oneway(i) != 1) counts(nodeIndex.get(edgeTo(i)) + 1) += 1
+      i += 1
+    }
+    var j = 1
+    while (j <= numNodes) { counts(j) += counts(j - 1); j += 1 }
+    val fill = counts.clone()
+    val adj = new Array[Int](counts(numNodes))
+    i = 0
+    while (i < numEdges) {
+      if (oneway(i) != 2) { val n = nodeIndex.get(edgeFrom(i)); adj(fill(n)) = 2 * i; fill(n) += 1 }
+      if (oneway(i) != 1) { val n = nodeIndex.get(edgeTo(i)); adj(fill(n)) = 2 * i + 1; fill(n) += 1 }
+      i += 1
+    }
+    (counts, adj)
+  }
+
+  /** out-degree of a node (directed). */
+  def outDegree(nodeId: Long): Int = {
+    val n = nodeIndex.get(nodeId)
+    if (n == null) 0 else adjOffsets(n + 1) - adjOffsets(n)
+  }
+
+  /** turn restrictions grouped by via node: (fromWay, toWay, positive) */
+  val restrictions: java.util.HashMap[Long, Array[(Long, Long, Boolean)]] = {
+    val m = new java.util.HashMap[Long, Array[(Long, Long, Boolean)]]()
+    restrictionsIn.groupBy(_._1).foreach { case (via, rs) =>
+      m.put(via, rs.map(r => (r._2, r._3, r._4)))
+    }
+    m
+  }
+
+  /** May we transition fromDir -> toDir at the shared node? Restrictor
+    * semantics (/root/reference/src/pfaedle/osm/Restrictor.cpp): a negative
+    * rule (from,to) forbids exactly that pair; a positive rule at the node
+    * allows ONLY its listed to-way from its from-way. */
+  def mayTurn(viaNode: Long, fromDir: Int, toDir: Int): Boolean = {
+    val rules = restrictions.get(viaNode)
+    if (rules == null) return true
+    val fw = wayId(fromDir >> 1); val tw = wayId(toDir >> 1)
+    var onlyRuleForFrom = false
+    var allowedByOnly = false
+    var i = 0
+    while (i < rules.length) {
+      val (rf, rt, pos) = rules(i)
+      if (pos) {
+        if (rf == fw) {
+          onlyRuleForFrom = true
+          if (rt == tw) allowedByOnly = true
+        }
+      } else if (rf == fw && rt == tw) return false
+      i += 1
+    }
+    !onlyRuleForFrom || allowedByOnly
+  }
+
+  /** Connected components over the undirected skeleton (union-find on the
+    * driver — the graph is already the collected broadcast side; the
+    * distributed CC operator lives in graft.plans.ConnectedComponents). */
+  val compOf: Array[Int] = {
+    val parent = Array.tabulate(numNodes)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }; r }
+    var i = 0
+    while (i < numEdges) {
+      val a = find(nodeIndex.get(edgeFrom(i))); val b = find(nodeIndex.get(edgeTo(i)))
+      if (a != b) parent(a) = b
+      i += 1
+    }
+    Array.tabulate(numNodes)(find)
+  }
+  def compOfNode(nodeId: Long): Int = {
+    val n = nodeIndex.get(nodeId)
+    if (n == null) -1 else compOf(n)
+  }
+  def compOfDir(de: Int): Int = compOfNode(dirFrom(de))
+
+  /** Geometry of a directed edge (oriented). */
+  def dirGeom(de: Int): Array[(Double, Double)] = {
+    val i = de >> 1
+    val pts = geomLat(i).indices.map(k => (geomLat(i)(k), geomLon(i)(k))).toArray
+    if ((de & 1) == 0) pts else pts.reverse
+  }
+
+  /** Angle-based full-turn test between consecutive directed edges at their
+    * shared node (Weights.cpp:136-155 semantics): reverse edge, or sharp
+    * angle at a node with degree > 2. */
+  def isFullTurn(fromDir: Int, toDir: Int, fullTurnAngleDeg: Double): Boolean = {
+    if ((fromDir >> 1) == (toDir >> 1) && fromDir != toDir) return true // U-turn on same edge
+    val node = dirTo(fromDir)
+    if (outDegree(node) <= 2) return false
+    val gFrom = dirGeom(fromDir); val gTo = dirGeom(toDir)
+    val a = gFrom(math.max(0, gFrom.length - 2))
+    val b = gFrom.last
+    val c = gTo(math.min(1, gTo.length - 1))
+    Geo.innerAngleDeg(a._1, a._2, b._1, b._2, c._1, c._2) < fullTurnAngleDeg
+  }
+}
+
+object CompactGraph {
+  /** Convenience builder from simple tuples (tests): (from, to, costSec,
+    * oneway, wayId). Geometry = straight line between supplied coords.
+    * Edge id = index. */
+  def fromSegments(segs: Seq[(Long, Long, Double, Int, Long)],
+                   coords: Map[Long, (Double, Double)],
+                   restrictions: Seq[(Long, Long, Long, Boolean)] = Nil): CompactGraph = {
+    val n = segs.length
+    val ids = Array.tabulate(n)(_.toLong)
+    val ef = new Array[Long](n); val et = new Array[Long](n)
+    val c10 = new Array[Long](n); val lm = new Array[Double](n)
+    val ow = new Array[Int](n); val wy = new Array[Long](n)
+    val gla = new Array[Array[Double]](n); val glo = new Array[Array[Double]](n)
+    val lines = Array.fill(n)(Array.empty[Int])
+    segs.zipWithIndex.foreach { case ((f, t, cost, o, w), i) =>
+      ef(i) = f; et(i) = t; c10(i) = Geo.costToInt(cost); ow(i) = o; wy(i) = w
+      val (fl, fo) = coords(f); val (tl, to) = coords(t)
+      gla(i) = Array(fl, tl); glo(i) = Array(fo, to)
+      lm(i) = Geo.haversineM(fl, fo, tl, to)
+    }
+    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, lines, restrictions.toArray)
+  }
+
+  /** Build from the GraphBuilder edges + restrictions DataFrames (collect on
+    * the driver, then broadcast — the graph is the bounded dimension side;
+    * the reference holds the same graph fully in RAM single-node). */
+  def fromEdges(edges: org.apache.spark.sql.DataFrame,
+                restrictions: org.apache.spark.sql.DataFrame): CompactGraph = {
+    val rows = edges.select("edge_id", "way_id", "from_id", "to_id",
+      "from_lat", "from_lon", "to_lat", "to_lon", "cost10", "len_m", "oneway")
+      .collect().sortBy(_.getLong(0))
+    val n = rows.length
+    val ids = new Array[Long](n); val ef = new Array[Long](n); val et = new Array[Long](n)
+    val c10 = new Array[Long](n); val lm = new Array[Double](n)
+    val ow = new Array[Int](n); val wy = new Array[Long](n)
+    val gla = new Array[Array[Double]](n); val glo = new Array[Array[Double]](n)
+    val lines = Array.fill(n)(Array.empty[Int])
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      ids(i) = r.getLong(0); wy(i) = r.getLong(1)
+      ef(i) = r.getLong(2); et(i) = r.getLong(3)
+      gla(i) = Array(r.getDouble(4), r.getDouble(6))
+      glo(i) = Array(r.getDouble(5), r.getDouble(7))
+      c10(i) = r.getLong(8); lm(i) = r.getDouble(9); ow(i) = r.getInt(10)
+      i += 1
+    }
+    val restr = restrictions.select("via_node", "from_way", "to_way", "positive")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, lines, restr)
+  }
+}

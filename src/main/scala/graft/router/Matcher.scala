@@ -1,0 +1,217 @@
+package graft.router
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+import graft.geo.{Cell, Geo}
+import graft.osm.OsmConfig
+
+/** The map-matching stage: stops -> edge candidates (broadcast k-ring
+  * spatial join, the declared core of the north star), trips clustered by
+  * identical stop sequence (the reference's trie-leaf collapse,
+  * /root/reference/src/pfaedle/router/TripTrie.tpp:18-105 — exact duplicates
+  * dominate), one Viterbi solve per distinct sequence, results joined back
+  * to every trip.
+  *
+  * Scale design: the candidate join is stops x edges on exploded cell keys;
+  * the stops side is k-ring-exploded and AQE broadcasts the smaller side.
+  * The road graph is broadcast as a compact primitive-array structure (the
+  * reference holds the same graph fully in RAM single-node; per-MOT + bbox
+  * filtering bounds it — SURVEY §7.3). Identical-sequence dedup makes kernel
+  * work proportional to DISTINCT sequences; the join-back is a plain
+  * shuffle join on seq_key that AQE skew-splits if one sequence has
+  * thousands of trips.
+  */
+object Matcher {
+
+  /** Candidate generation (J4/J5): broadcast k-ring join + projection.
+    * stops(stop_id, lat, lng); edges from GraphBuilder.
+    * Returns cands(stop_id, edge_id, progr, pen10, py, px, dist_m, oneway). */
+  def buildCands(spark: SparkSession, stops: DataFrame, edges: DataFrame,
+                 cfg: OsmConfig): DataFrame = {
+    import spark.implicits._
+    // ring radius from the worst-case (highest) latitude in the feed
+    val maxAbsLat = stops.agg(max(abs(col("lat")))).head().getDouble(0)
+    val k = Cell.kForMeters(cfg.maxSnapDistanceM, maxAbsLat, cfg.cellRes)
+    val stopRings = stops
+      .select($"stop_id", $"lat".as("s_lat"), $"lng".as("s_lng"))
+      .withColumn("cell", explode(kring(gcell($"s_lat", $"s_lng", cfg.cellRes), k)))
+    val edgeCells = edges
+      .select($"edge_id", $"from_lat", $"from_lon", $"to_lat", $"to_lon",
+        $"oneway", explode($"cells").as("cell"))
+    val projectUdf = udf((sLat: Double, sLng: Double,
+                          aLat: Double, aLon: Double, bLat: Double, bLon: Double) =>
+      Geo.projectOnSegment(sLat, sLng, aLat, aLon, bLat, bLon))
+    val joined = stopRings.join(edgeCells, Seq("cell"))
+      .withColumn("proj", projectUdf($"s_lat", $"s_lng",
+        $"from_lat", $"from_lon", $"to_lat", $"to_lon"))
+      .select($"stop_id", $"edge_id", $"oneway",
+        $"proj._1".as("progr"), $"proj._2".as("py"), $"proj._3".as("px"),
+        $"proj._4".as("dist_m"))
+      .filter($"dist_m" <= cfg.maxSnapDistanceM)
+      // a (stop, edge) pair can match through several ring cells -> dedup
+      .groupBy($"stop_id", $"edge_id")
+      .agg(first($"progr").as("progr"), first($"py").as("py"), first($"px").as("px"),
+        first($"dist_m").as("dist_m"), first($"oneway").as("oneway"))
+    // keep top-K nearest edges per stop (the reference keeps best per
+    // deg-2 chain, ShapeBuilder.cpp:241-276; top-K is the chain-free analog)
+    val byStop = Window.partitionBy($"stop_id").orderBy($"dist_m", $"edge_id")
+    joined.withColumn("rk", row_number().over(byStop))
+      .filter($"rk" <= 8).drop("rk")
+      .withColumn("pen10", ceil($"dist_m" * lit(cfg.distPenFactor) * 10.0).cast("long"))
+  }
+
+  /** Solve all trips. tripStops(trip_id, seq, stop_id, arr_s, dep_s, lat, lng)
+    * (J7 output); cands from buildCands. Output:
+    * shapes(shape_id=trip_id, seq, lat, lng, travel_dist) + hops via solveHops. */
+  def matchTrips(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
+                 graph: CompactGraph, cfg: OsmConfig): DataFrame = {
+    import spark.implicits._
+    val solved = solveDistinctSeqs(spark, tripStops, cands, graph, cfg)
+
+    // join back: every trip gets its sequence's points (skew: AQE handles)
+    val seqKeys = tripStopsWithKey(tripStops).select($"trip_id", $"seq_key").distinct()
+    val tripPoints = seqKeys.join(solved, Seq("seq_key"))
+      .select($"trip_id".as("shape_id"), explode($"points").as("pt"))
+      .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"))
+
+    // W2: cumulative measure as a running window sum (monotone by construction)
+    val w = Window.partitionBy($"shape_id").orderBy($"seq")
+    tripPoints
+      .withColumn("prev_lat", lag($"lat", 1).over(w))
+      .withColumn("prev_lng", lag($"lng", 1).over(w))
+      .withColumn("seg_m", when($"prev_lat".isNull, lit(0.0))
+        .otherwise(haversineM($"prev_lat", $"prev_lng", $"lat", $"lng")))
+      .withColumn("travel_dist",
+        sum($"seg_m").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("float"))
+      .select($"shape_id", $"seq", $"lat", $"lng", $"travel_dist")
+  }
+
+  /** trip -> ordered stops + a stable key of the stop sequence. */
+  def tripStopsWithKey(tripStops: DataFrame): DataFrame = {
+    import tripStops.sparkSession.implicits._
+    tripStops
+      .groupBy($"trip_id")
+      .agg(sort_array(collect_list(struct($"seq", $"stop_id", $"arr_s", $"dep_s",
+        $"lat", $"lng"))).as("stops"))
+      .withColumn("seq_key", sha2(to_json($"stops"), 256))
+  }
+
+  case class ShapePoint(seq: Int, lat: Double, lng: Double)
+  case class SolvedSeq(seq_key: String, points: Array[ShapePoint],
+                       n_hops: Int, n_unroutable: Int, cost10: Long)
+  /** ordered stop row inside a sequence (encoder-compatible field names) */
+  case class TS(seq: Int, stop_id: String, arr_s: Int, dep_s: Int,
+                lat: Double, lng: Double)
+
+  /** One Viterbi solve per DISTINCT stop sequence (A2/A3 clustering). */
+  def solveDistinctSeqs(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
+                        graph: CompactGraph, cfg: OsmConfig): DataFrame = {
+    import spark.implicits._
+    val bcGraph = spark.sparkContext.broadcast(graph)
+    // stop dimension (bounded: every stop of the feed, ~10 cands each)
+    val candArr = cands.select($"stop_id", $"edge_id", $"progr", $"pen10",
+        $"py", $"px", $"oneway").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val bcCands = spark.sparkContext.broadcast(candArr)
+    val cfgB = spark.sparkContext.broadcast(cfg)
+
+    val distinctSeqs = tripStopsWithKey(tripStops).dropDuplicates("seq_key")
+      .select($"seq_key", $"stops")
+      .as[(String, Seq[Matcher.TS])]
+
+    distinctSeqs.map { case (seqKey, stopsSorted) =>
+      MatcherKernel.solveOne(seqKey, stopsSorted.toArray, bcGraph.value,
+        bcCands.value, cfgB.value)
+    }.toDF()
+  }
+}
+
+/** The per-sequence solve: candidate expansion to directed edges, Viterbi,
+  * geometry materialization. Pure Scala on broadcast data. */
+object MatcherKernel {
+  import Matcher.{ShapePoint, SolvedSeq}
+
+  val NullCandPen10 = 60000L // 100 min — dominated by any real snap
+
+  def solveOne(seqKey: String,
+               stops: Array[Matcher.TS],
+               g: CompactGraph,
+               candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
+               cfg: OsmConfig): SolvedSeq = {
+    // candidate groups per layer, expanded to directed edges
+    val layers: Array[Array[Cand]] = stops.map { st =>
+      val (stopId, sLat, sLng) = (st.stop_id, st.lat, st.lng)
+      val raw = candMap.getOrElse(stopId, Array.empty)
+      val cs = raw.flatMap { case (eid, progr, pen, pLat, pLon, ow) =>
+        val idxO = g.edgeIndex.get(eid)
+        if (idxO == null) Nil
+        else {
+          val i = idxO.intValue()
+          val fwd = if (ow != 2) Some(Cand(2 * i, progr, pen, pLat, pLon)) else None
+          val rev = if (ow != 1) Some(Cand(2 * i + 1, 1.0 - progr, pen, pLat, pLon)) else None
+          Seq(fwd, rev).flatten
+        }
+      }
+      if (cs.isEmpty) Array(Cand(-1, 0.0, NullCandPen10, sLat, sLng)) else cs
+    }
+    // W1: scheduled seconds between consecutive stops (min 1)
+    val schedSec = (0 until stops.length - 1).map { i =>
+      math.max(1, stops(i + 1).arr_s - stops(i).dep_s).toDouble
+    }.toArray
+
+    val fullTurnPen10 = Geo.costToInt(cfg.fullTurnPenaltySec)
+    val turnPen: (Int, Int) => Long = (fromDir, toDir) => {
+      val via = g.dirTo(fromDir)
+      if (!g.mayTurn(via, fromDir, toDir)) -1L
+      else if (g.isFullTurn(fromDir, toDir, cfg.fullTurnAngleDeg)) fullTurnPen10
+      else 0L
+    }
+
+    val res = Viterbi.solve(g, layers, schedSec, turnPen)
+
+    // materialize geometry: per hop either the routed polyline or a straight
+    // fallback (ShapeBuilder.cpp:988-1028 getGeom straight-line fallback)
+    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    def append(p: (Double, Double)): Unit =
+      if (pts.isEmpty || math.abs(pts.last._1 - p._1) > 1e-12 ||
+          math.abs(pts.last._2 - p._2) > 1e-12) pts += p
+
+    var hop = 0
+    while (hop < res.hops.length) {
+      val h = res.hops(hop)
+      val fromCand = layers(hop)(res.bestCands(hop))
+      val toCand = layers(hop + 1)(res.bestCands(hop + 1))
+      append((fromCand.pLat, fromCand.pLon))
+      if (h.reachable && h.edges.nonEmpty) {
+        if (h.edges.length == 1) {
+          Geo.subPolyline(g.dirGeom(h.edges(0)), h.progrStart, h.progrEnd)
+            .foreach(append)
+        } else {
+          Geo.subPolyline(g.dirGeom(h.edges.head), h.progrStart, 1.0).foreach(append)
+          var m = 1
+          while (m < h.edges.length - 1) {
+            g.dirGeom(h.edges(m)).foreach(append)
+            m += 1
+          }
+          Geo.subPolyline(g.dirGeom(h.edges.last), 0.0, h.progrEnd).foreach(append)
+        }
+      }
+      append((toCand.pLat, toCand.pLon))
+      hop += 1
+    }
+    if (res.hops.isEmpty && layers.nonEmpty) {
+      val c = layers(0)(res.bestCands(0))
+      append((c.pLat, c.pLon))
+    }
+    val unroutable = res.hops.count(h => !h.reachable)
+    SolvedSeq(seqKey,
+      pts.zipWithIndex.map { case ((la, lo), i) => ShapePoint(i, la, lo) }.toArray,
+      res.hops.length, unroutable, res.totalCost10)
+  }
+}

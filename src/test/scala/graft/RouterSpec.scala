@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.router._
+import graft.geo.Geo
+
+/** Exact-cost routing tests on a toy graph — semantics mirror the reference's
+  * unit surface (/root/reference/src/pfaedle/tests/TestMain.cpp:47-307:
+  * small graph, exact cost matrices, progression offsets, cutoff behavior). */
+class RouterSpec extends AnyFunSuite {
+  // A -- B -- C -- D chain + B -- E spur; costs in seconds.
+  //  coordinates on a line so geometry is simple
+  val coords = Map(
+    1L -> (48.000, 7.800), 2L -> (48.000, 7.810), 3L -> (48.000, 7.820),
+    4L -> (48.000, 7.830), 5L -> (48.010, 7.810))
+  // (from, to, costSec, oneway, wayId)
+  val segs = Seq(
+    (1L, 2L, 10.0, 0, 100L), // e0 A-B (way 100)
+    (2L, 3L, 6.0, 0, 150L),  // e1 B-C (way 150)
+    (3L, 4L, 100.0, 0, 160L),// e2 C-D (way 160)
+    (2L, 5L, 7.0, 0, 200L))  // e3 B-E (way 200)
+  lazy val g = CompactGraph.fromSegments(segs, coords)
+
+  def noPen: (Int, Int) => Long = (_, _) => 0L
+
+  test("directed expansion and adjacency") {
+    assert(g.numEdges == 4 && g.numNodes == 5)
+    assert(g.dirFrom(0) == 1L && g.dirTo(0) == 2L)  // e0 fwd
+    assert(g.dirFrom(1) == 2L && g.dirTo(1) == 1L)  // e0 rev
+    assert(g.outDegree(2L) == 3) // B: ->A, ->C, ->E
+  }
+
+  test("1->N dijkstra exact costs (deciseconds)") {
+    // source: e0 fwd (A->B, cost 100 ds), targets: e1 fwd end C, e2 fwd end D
+    val targets = new java.util.BitSet()
+    targets.set(2) // e1 fwd
+    targets.set(4) // e2 fwd
+    val res = Dijkstra.oneToMany(g, 0, 0L, targets, Long.MaxValue / 8, noPen)
+    assert(res.cost(0) == 100L)          // settle source: full e0
+    assert(res.cost(2) == 100L + 60L)    // A->B->C
+    assert(res.cost(4) == 100L + 60L + 1000L) // A->B->C->D
+    assert(res.reached == 2)
+    // path materialization
+    assert(Dijkstra.path(res, 0, 4).toSeq == Seq(0, 2, 4))
+  }
+
+  test("cutoff stops expansion") {
+    val targets = new java.util.BitSet(); targets.set(4)
+    val res = Dijkstra.oneToMany(g, 0, 0L, targets, 200L, noPen)
+    assert(res.reached == 0)
+    assert(res.cost(4) >= Dijkstra.Inf || res.cost(4) > 200L)
+  }
+
+  test("oneway blocks reverse direction") {
+    val segsOw = segs.map { case (f, t, c, _, w) => (f, t, c, 1, w) } // all fwd-only
+    val gw = CompactGraph.fromSegments(segsOw, coords)
+    // from e1 fwd (B->C) there is no way back to A
+    val targets = new java.util.BitSet(); targets.set(1) // e0 rev is disallowed entirely
+    val res = Dijkstra.oneToMany(gw, 2, 0L, targets, Long.MaxValue / 8, noPen)
+    assert(res.reached == 0)
+  }
+
+  test("turn restriction forbids via transition, detour via U-turn works") {
+    // forbid way 100 -> way 200 at node B
+    val gr = CompactGraph.fromSegments(segs, coords, Seq((2L, 100L, 200L, false)))
+    val pen: (Int, Int) => Long = (f, t) =>
+      if (!gr.mayTurn(gr.dirTo(f), f, t)) -1L else 0L
+    val targets = new java.util.BitSet(); targets.set(6) // e3 fwd
+    val res = Dijkstra.oneToMany(gr, 0, 0L, targets, Long.MaxValue / 8, pen)
+    // direct turn blocked; cheapest legal: A->B, B->C, C->B (U-turn onto
+    // way 150), then 150->200 at B is unrestricted: 100+60+60+70 ds
+    assert(res.cost(6) == 100L + 60L + 60L + 70L)
+    assert(Dijkstra.path(res, 0, 6).toSeq == Seq(0, 2, 3, 6))
+  }
+
+  test("positive (only_) restriction allows only listed turn") {
+    val gr = CompactGraph.fromSegments(segs, coords, Seq((2L, 100L, 150L, true)))
+    // from way 100 at B, ONLY way 150 is allowed
+    assert(gr.mayTurn(2L, 0, 2))  // e0 fwd -> e1 fwd (100 -> 150) listed
+    assert(!gr.mayTurn(2L, 0, 6)) // e0 fwd -> e3 fwd (100 -> 200) blocked
+    assert(gr.mayTurn(2L, 3, 6))  // from way 150 no rule -> allowed
+    assert(gr.mayTurn(3L, 2, 4))  // rules at other nodes unaffected
+  }
+
+  test("viterbi: single-hop exact cost with progression offsets") {
+    // stop X snaps to e0 at progr 0.5; stop Y snaps to e2 at progr 0.5
+    // expected hop cost: 0.5*e0 + e1 + 0.5*e2 = 50 + 60 + 500 = 610 ds
+    val cands = Array(
+      Array(Cand(0, 0.5, 0L, 48.0, 7.805)),
+      Array(Cand(4, 0.5, 0L, 48.0, 7.825)))
+    val res = Viterbi.solve(g, cands, Array(600.0), noPen)
+    assert(res.totalCost10 == 610L)
+    assert(res.hops(0).edges.toSeq == Seq(0, 2, 4))
+    assert(res.hops(0).reachable)
+  }
+
+  test("viterbi picks cheaper of two candidate chains") {
+    // stop Y has two candidates: on e2 (via 100s edge) and on e3 (via 7s edge)
+    val cands = Array(
+      Array(Cand(0, 0.5, 0L, 48.0, 7.805)),
+      Array(Cand(4, 0.5, 0L, 48.0, 7.825),   // 50+60+500 = 610
+            Cand(6, 0.5, 0L, 48.005, 7.81))) // 50+35 = 85
+    val res = Viterbi.solve(g, cands, Array(600.0), noPen)
+    assert(res.bestCands(1) == 1)
+    assert(res.totalCost10 == 85L)
+  }
+
+  test("viterbi: emission penalties shift the choice") {
+    val cands = Array(
+      Array(Cand(0, 0.5, 0L, 48.0, 7.805)),
+      Array(Cand(4, 0.5, 0L, 48.0, 7.825),
+            Cand(6, 0.5, 600L, 48.005, 7.81))) // +60 s penalty: 85+600=685 > 610
+    val res = Viterbi.solve(g, cands, Array(600.0), noPen)
+    assert(res.bestCands(1) == 0)
+    assert(res.totalCost10 == 610L)
+  }
+
+  test("viterbi: unroutable hop falls back, does not dead-end") {
+    // two disconnected sub-graphs
+    val coords2 = coords ++ Map(10L -> (49.0, 8.0), 11L -> (49.0, 8.01))
+    val g2 = CompactGraph.fromSegments(segs :+ ((10L, 11L, 5.0, 0, 300L)), coords2)
+    val cands = Array(
+      Array(Cand(0, 0.5, 0L, 48.0, 7.805)),
+      Array(Cand(8, 0.5, 0L, 49.0, 8.005))) // e4 in the other component
+    val res = Viterbi.solve(g2, cands, Array(60.0), noPen)
+    assert(res.hops(0).edges.isEmpty && !res.hops(0).reachable)
+    // comp shortcut must prevent any dijkstra iterations for this hop
+  }
+
+  test("connected components") {
+    val coords2 = coords ++ Map(10L -> (49.0, 8.0), 11L -> (49.0, 8.01))
+    val g2 = CompactGraph.fromSegments(segs :+ ((10L, 11L, 5.0, 0, 300L)), coords2)
+    assert(g2.compOfNode(1L) == g2.compOfNode(4L))
+    assert(g2.compOfNode(1L) != g2.compOfNode(10L))
+  }
+
+  test("full turn detection: U-turn and sharp angle") {
+    assert(g.isFullTurn(0, 1, 58.0))   // e0 fwd -> e0 rev = U-turn
+    assert(!g.isFullTurn(0, 2, 58.0))  // straight on
+  }
+}
