@@ -33,7 +33,7 @@ case class OsmConfig(
     fullTurnPenaltySec: Double = 30.0,
     fullTurnAngleDeg: Double = 58.0,
     /** penalty factor applied to snap distance (emission weight k) */
-    distPenFactor: Double = 0.1,
+    distPenFactor: Double = 1.0,
     /** non-station-candidate penalty seconds */
     nonStationPenaltySec: Double = 10.0,
     /** transition cost factor: expected = schedule seconds; pen per
