@@ -67,19 +67,29 @@ object Matcher {
     * (J7 output); cands from buildCands. Output:
     * shapes(shape_id=trip_id, seq, lat, lng, travel_dist) + hops via solveHops. */
   def matchTrips(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
-                 graph: CompactGraph, cfg: OsmConfig): DataFrame = {
+                 graph: CompactGraph, cfg: OsmConfig): DataFrame =
+    matchTripsFull(spark, tripStops, cands, graph, cfg)._1
+
+  /** Like matchTrips but also returns per-stop anchors
+    * (trip_id, stop_idx, point_seq) — the generated feed's
+    * shape_dist_traveled positions (what the reference writes into
+    * stop_times, consumed by the eval as cut anchors). */
+  def matchTripsFull(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
+                     graph: CompactGraph, cfg: OsmConfig): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val solved = solveDistinctSeqs(spark, tripStops, cands, graph, cfg)
+    val solved = solveDistinctSeqs(spark, tripStops, cands, graph, cfg).cache()
 
     // join back: every trip gets its sequence's points (skew: AQE handles)
     val seqKeys = tripStopsWithKey(tripStops).select($"trip_id", $"seq_key").distinct()
     val tripPoints = seqKeys.join(solved, Seq("seq_key"))
       .select($"trip_id".as("shape_id"), explode($"points").as("pt"))
       .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"))
+    val anchors = seqKeys.join(solved, Seq("seq_key"))
+      .select($"trip_id", posexplode($"anchors").as(Seq("stop_idx", "point_seq")))
 
     // W2: cumulative measure as a running window sum (monotone by construction)
     val w = Window.partitionBy($"shape_id").orderBy($"seq")
-    tripPoints
+    val shapes = tripPoints
       .withColumn("prev_lat", lag($"lat", 1).over(w))
       .withColumn("prev_lng", lag($"lng", 1).over(w))
       .withColumn("seg_m", when($"prev_lat".isNull, lit(0.0))
@@ -88,6 +98,7 @@ object Matcher {
         sum($"seg_m").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("float"))
       .select($"shape_id", $"seq", $"lat", $"lng", $"travel_dist")
+    (shapes, anchors)
   }
 
   /** trip -> ordered stops + a stable key of the stop sequence. */
@@ -101,7 +112,10 @@ object Matcher {
   }
 
   case class ShapePoint(seq: Int, lat: Double, lng: Double)
+  /** anchors: index into points of each stop's snap position (used to write
+    * per-stop shape_dist_traveled, the eval's cut anchors). */
   case class SolvedSeq(seq_key: String, points: Array[ShapePoint],
+                       anchors: Array[Int],
                        n_hops: Int, n_unroutable: Int, cost10: Long)
   /** ordered stop row inside a sequence (encoder-compatible field names) */
   case class TS(seq: Int, stop_id: String, arr_s: Int, dep_s: Int,
@@ -182,12 +196,14 @@ object MatcherKernel {
       if (pts.isEmpty || math.abs(pts.last._1 - p._1) > 1e-12 ||
           math.abs(pts.last._2 - p._2) > 1e-12) pts += p
 
+    val anchors = new Array[Int](layers.length)
     var hop = 0
     while (hop < res.hops.length) {
       val h = res.hops(hop)
       val fromCand = layers(hop)(res.bestCands(hop))
       val toCand = layers(hop + 1)(res.bestCands(hop + 1))
       append((fromCand.pLat, fromCand.pLon))
+      if (hop == 0) anchors(0) = pts.length - 1
       if (h.reachable && h.edges.nonEmpty) {
         if (h.edges.length == 1) {
           Geo.subPolyline(g.dirGeom(h.edges(0)), h.progrStart, h.progrEnd)
@@ -203,6 +219,7 @@ object MatcherKernel {
         }
       }
       append((toCand.pLat, toCand.pLon))
+      anchors(hop + 1) = pts.length - 1
       hop += 1
     }
     if (res.hops.isEmpty && layers.nonEmpty) {
@@ -212,6 +229,7 @@ object MatcherKernel {
     val unroutable = res.hops.count(h => !h.reachable)
     SolvedSeq(seqKey,
       pts.zipWithIndex.map { case ((la, lo), i) => ShapePoint(i, la, lo) }.toArray,
+      anchors,
       res.hops.length, unroutable, res.totalCost10)
   }
 }

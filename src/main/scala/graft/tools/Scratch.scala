@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.fixtures.{SyntheticWorld, WorldTables}
 import graft.osm.{GraphBuilder, OsmConfig}
 import graft.router.{CompactGraph, Matcher}
+import graft.eval.Shapevl
+import graft.geo.Geo
 /** Scratch driver for manual end-to-end verification (kept out of tests). */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -12,7 +14,6 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    graft.functions.GeoFunctions.register(spark)
     val world = SyntheticWorld.build(rows = 8, cols = 12)
     val t = WorldTables(spark, world)
     val cfg = OsmConfig.bus
@@ -20,12 +21,20 @@ object Scratch {
     val gt = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
     val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions)
     val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg)
-    println("=== cands for S2_0 / S2_9 ===")
-    cands.filter($"stop_id".isin("S2_0", "S2_9")).orderBy($"stop_id", $"dist_m").show(20, false)
-    val ts = WorldTables.tripStops(t).filter($"trip_id" === "T2_0")
-    val shapes = Matcher.matchTrips(spark, ts, cands, graph, cfg)
-    println("=== shape T2_0 ===")
-    shapes.orderBy($"seq").show(60, false)
+    val gen = Matcher.matchTrips(spark, WorldTables.tripStops(t), cands, graph, cfg)
+
+    val truth = world.truthShapes.filter(_.shape_id == "SHP_R2")
+      .sortBy(_.seq).map(p => (p.lat, p.lng, p.travel_dist.toDouble)).toArray
+    val genArr = gen.filter($"shape_id" === "T2_0").orderBy($"seq")
+      .select($"lat", $"lng", $"travel_dist").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getFloat(2).toDouble))
+    println(s"truth pts: ${truth.take(3).mkString(" ")}")
+    println(s"gen pts: ${genArr.take(3).mkString(" ")}")
+    val anchors = Array(0.0, 600.0, 1200.0, 1800.0)
+    println(Shapevl.scoreTrip("T2_0", truth, genArr, anchors))
+    // raw frechet of full lines
+    println("full fd = " + Geo.frechetDistHav(truth.map(p => (p._1, p._2)),
+      genArr.map(p => (p._1, p._2)), 25.0))
     spark.stop()
   }
 }
