@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ann.AnnOps
+import graft.dedup.DedupOps
+import graft.functions.GeoFunctions._
+import graft.text.TextOps
+
+/** The driver-facing query catalog: one entry per operator family from
+  * SURVEY.md §2 plus the training-data-pipeline ops. Every SQL-expressible
+  * query has a DuckDB oracle whose arithmetic is formula-identical to the
+  * Spark plan (same literals, same operation order); kernel queries
+  * (matching, overlay) ship without oracle -> rows-only check.
+  *
+  * Conventions for oracle parity:
+  *  - integer outputs CAST to BIGINT in SQL / .cast("long") in Spark;
+  *  - double aggregates rounded to a fixed number of decimals on BOTH sides;
+  *  - derived geo points use pure integer-arithmetic formulas;
+  *  - cell ids use the documented integer encoding (SURVEY: graft.geo.Cell).
+  */
+object GraftQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def q(f: Q, sql: String): (Q, String) = (f, sql)
+
+  private def read(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  // ---- derived deterministic geo points (same formula in SQL) ----
+  // lat in [-60, 59], lon in [-150, 150], fractional via a second modulus
+  private def custPoints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    read(s, dir, "customer")
+      .withColumn("lat", ($"c_custkey" % 120).cast("double") - 60.0 + ($"c_custkey" % 7).cast("double") * 0.01)
+      .withColumn("lon", ($"c_custkey" % 300).cast("double") - 150.0 + ($"c_custkey" % 11).cast("double") * 0.01)
+  }
+  private val custPointsSql =
+    """SELECT c_custkey,
+      |  CAST(c_custkey % 120 AS DOUBLE) - 60.0 + CAST(c_custkey % 7 AS DOUBLE) * 0.01 AS lat,
+      |  CAST(c_custkey % 300 AS DOUBLE) - 150.0 + CAST(c_custkey % 11 AS DOUBLE) * 0.01 AS lon
+      |FROM customer""".stripMargin
+  private def suppPoints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    read(s, dir, "supplier")
+      .withColumn("lat", ($"s_suppkey" % 100).cast("double") - 50.0)
+      .withColumn("lon", ($"s_suppkey" % 200).cast("double") - 100.0)
+  }
+  private val suppPointsSql =
+    """SELECT s_suppkey,
+      |  CAST(s_suppkey % 100 AS DOUBLE) - 50.0 AS lat,
+      |  CAST(s_suppkey % 200 AS DOUBLE) - 100.0 AS lon
+      |FROM supplier""".stripMargin
+
+  /** SQL gcell formula at res 12 (cellDeg = 90/4096 exactly representable). */
+  private def sqlCell(latE: String, lonE: String): String =
+    s"(CAST(12 AS BIGINT) * 288230376151711744) + " +
+      s"(CAST(floor(($latE + 90.0) / 0.02197265625) AS BIGINT) * 536870912) + " +
+      s"CAST(floor(($lonE + 180.0) / 0.02197265625) AS BIGINT)"
+  // 288230376151711744 = 2^58, 536870912 = 2^29
+
+  private def sqlCellRes(latE: String, lonE: String, res: Int): String = {
+    val cd = 90.0 / (1L << res)
+    s"(CAST($res AS BIGINT) * 288230376151711744) + " +
+      s"(CAST(floor(($latE + 90.0) / $cd) AS BIGINT) * 536870912) + " +
+      s"CAST(floor(($lonE + 180.0) / $cd) AS BIGINT)"
+  }
+
+  // =====================================================================
+  // relational core (scan/filter/join/agg/window/topk)
+  // =====================================================================
+  val relational: Map[String, (Q, String)] = Map(
+    "q1_agg" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      read(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").cast("long").as("sum_qty"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_cents"),
+          sum(round($"l_discount" * 100).cast("long")).as("sum_disc_pct"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_join_agg" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = read(s, dir, "orders"); val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"))
+        .orderBy($"n_name")
+    },
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_semi_anti" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val c = read(s, dir, "customer"); val o = read(s, dir, "orders")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+      s.createDataFrame(Seq((withO, withoutO)))
+        .toDF("n_with_orders", "n_without_orders")
+    },
+      """SELECT
+        |  CAST((SELECT count(*) FROM customer WHERE EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT) AS n_with_orders,
+        |  CAST((SELECT count(*) FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT) AS n_without_orders""".stripMargin),
+
+    "q_window_topk" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      read(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rk".cast("long").as("rk"))
+        .orderBy($"o_custkey", $"rk")
+    },
+      """SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin),
+
+    "q_running_sum" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      read(s, dir, "lineitem")
+        .withColumn("running_qty", sum($"l_quantity".cast("long")).over(w))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+    },
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+        |FROM lineitem""".stripMargin),
+
+    "q_lag_lead" -> q((s: SparkSession, dir: String) => {
+      // W1 analog: inter-event deltas per user (the inter-stop time pattern)
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      read(s, dir, "events")
+        .withColumn("prev_val", lag($"value", 1).over(w))
+        .filter($"prev_val".isNotNull)
+        .select($"user_id", $"event_id",
+          (round($"value" * 100).cast("long") - round($"prev_val" * 100).cast("long")).as("delta_cents"))
+    },
+      """SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) - CAST(round(prev_val * 100) AS BIGINT) AS delta_cents FROM (
+        |  SELECT user_id, event_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_val
+        |  FROM events) WHERE prev_val IS NOT NULL""".stripMargin)
+  )
+
+  // =====================================================================
+  // spatial (cell encode, hierarchy, k-ring join, distance join, bbox)
+  // =====================================================================
+  val spatial: Map[String, (Q, String)] = Map(
+    "q_cell_assign" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      custPoints(s, dir)
+        .select($"c_custkey", gcell($"lat", $"lon", 12).as("cell"),
+          gcellParent(gcell($"lat", $"lon", 12), 8).as("cell_r8"))
+    },
+      s"""WITH pts AS ($custPointsSql)
+         |SELECT c_custkey, ${sqlCell("lat", "lon")} AS cell,
+         |  (CAST(8 AS BIGINT) * 288230376151711744) +
+         |  ((CAST(floor((lat + 90.0) / 0.02197265625) AS BIGINT) // 16) * 536870912) +
+         |  (CAST(floor((lon + 180.0) / 0.02197265625) AS BIGINT) // 16) AS cell_r8
+         |FROM pts""".stripMargin),
+
+    "q_cell_agg" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      custPoints(s, dir)
+        .groupBy(gcellParent(gcell($"lat", $"lon", 12), 6).as("cell_r6"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"cell_r6")
+    },
+      s"""WITH pts AS ($custPointsSql)
+         |SELECT (CAST(6 AS BIGINT) * 288230376151711744) +
+         |  ((CAST(floor((lat + 90.0) / 0.02197265625) AS BIGINT) // 64) * 536870912) +
+         |  (CAST(floor((lon + 180.0) / 0.02197265625) AS BIGINT) // 64) AS cell_r6,
+         |  count(*) AS n
+         |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_kring_join" -> q((s: SparkSession, dir: String) => {
+      // the candidate-generation join shape (J4/J5): supplier cells x
+      // customer k-ring cells, equi-join on cell
+      import s.implicits._
+      val su = suppPoints(s, dir)
+        .select($"s_suppkey", gcell($"lat", $"lon", 6).as("cell"))
+      val cu = custPoints(s, dir)
+        .select($"c_custkey", explode(kring(gcell($"lat", $"lon", 6), 1)).as("cell"))
+      cu.join(broadcast(su), Seq("cell"))
+        .select($"c_custkey", $"s_suppkey", $"cell")
+        .orderBy($"c_custkey", $"s_suppkey", $"cell")
+    },
+      // away from poles/antimeridian the k-ring is cell + dr*2^29 + dc
+      s"""WITH su AS ($suppPointsSql), cu AS ($custPointsSql),
+         |offs(d) AS (VALUES (-1), (0), (1)),
+         |curing AS (
+         |  SELECT c_custkey,
+         |    ${sqlCellRes("lat", "lon", 6)} + o1.d * 536870912 + o2.d AS cell
+         |  FROM cu, offs o1, offs o2)
+         |SELECT c_custkey, s_suppkey, cell FROM curing
+         |JOIN (SELECT s_suppkey, ${sqlCellRes("lat", "lon", 6)} AS cell FROM su) sc
+         |USING (cell) ORDER BY c_custkey, s_suppkey, cell""".stripMargin),
+
+    "q_dist_join" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val su = suppPoints(s, dir).select($"s_suppkey", $"lat".as("slat"), $"lon".as("slon"))
+      val cu = custPoints(s, dir)
+      cu.crossJoin(broadcast(su))
+        .withColumn("dist_km", round(haversineM($"lat", $"lon", $"slat", $"slon") / 1000.0, 2))
+        .filter($"dist_km" <= 500.0)
+        .select($"c_custkey", $"s_suppkey", $"dist_km")
+        .orderBy($"c_custkey", $"s_suppkey")
+    },
+      s"""WITH su AS ($suppPointsSql), cu AS ($custPointsSql)
+         |SELECT c_custkey, s_suppkey, dist_km FROM (
+         |  SELECT c_custkey, s_suppkey,
+         |    round(2.0 * 6371000.0 * asin(least(1.0, sqrt(
+         |      sin(radians(su.lat - cu.lat) / 2) * sin(radians(su.lat - cu.lat) / 2) +
+         |      cos(radians(cu.lat)) * cos(radians(su.lat)) *
+         |      sin(radians(su.lon - cu.lon) / 2) * sin(radians(su.lon - cu.lon) / 2)))) / 1000.0, 2) AS dist_km
+         |  FROM cu, su)
+         |WHERE dist_km <= 500.0 ORDER BY c_custkey, s_suppkey""".stripMargin),
+
+    "q_bbox_filter" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      custPoints(s, dir)
+        .filter($"lat" >= 0.0 && $"lat" <= 30.0 && $"lon" >= -50.0 && $"lon" <= 50.0)
+        .agg(count(lit(1)).as("n"),
+          min(gcell($"lat", $"lon", 12)).as("min_cell"),
+          max(gcell($"lat", $"lon", 12)).as("max_cell"))
+    },
+      s"""WITH pts AS ($custPointsSql)
+         |SELECT count(*) AS n,
+         |  min(${sqlCell("lat", "lon")}) AS min_cell,
+         |  max(${sqlCell("lat", "lon")}) AS max_cell
+         |FROM pts WHERE lat >= 0.0 AND lat <= 30.0 AND lon >= -50.0 AND lon <= 50.0""".stripMargin)
+  )
+
+  // =====================================================================
+  // graph-shaped relational ops (J2 way->edge expansion, A5 components)
+  // =====================================================================
+  val graphRel: Map[String, (Q, String)] = Map(
+    "q_way_edges" -> q((s: SparkSession, dir: String) => {
+      // J2: "way" = order, "nodes" = partkeys ordered by linenumber;
+      // consecutive pairs -> edges via window lead
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      read(s, dir, "lineitem")
+        .withColumn("to_pk", lead($"l_partkey", 1).over(w))
+        .filter($"to_pk".isNotNull)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey".as("from_pk"), $"to_pk")
+    },
+      """SELECT l_orderkey, l_linenumber, l_partkey AS from_pk, to_pk FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    lead(l_partkey, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS to_pk
+        |  FROM lineitem) WHERE to_pk IS NOT NULL""".stripMargin),
+
+    "q_components" -> q((s: SparkSession, dir: String) => {
+      // A5: connected components by iterative min-label propagation over a
+      // nation<->region-hub star graph (diameter 2; 4 rounds guarantee
+      // convergence). The hub node id is 100 + regionkey.
+      import s.implicits._
+      val n = read(s, dir, "nation")
+      val edges = n.select($"n_nationkey".cast("long").as("a"),
+          ($"n_regionkey".cast("long") + 100L).as("b"))
+      val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
+      var labels = sym.select($"a".as("node")).distinct()
+        .withColumn("comp", $"node")
+      for (_ <- 1 to 4) {
+        val viaNeighbors = sym.join(labels, sym("b") === labels("node"))
+          .select(sym("a").as("node"), $"comp")
+        labels = labels.unionByName(viaNeighbors)
+          .groupBy($"node").agg(min($"comp").as("comp"))
+      }
+      labels.orderBy($"node")
+    },
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS a, CAST(n_regionkey AS BIGINT) + 100 AS b FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_regionkey AS BIGINT) + 100 AS a, CAST(n_nationkey AS BIGINT) AS b FROM nation),
+        |reach(src, node, d) AS (
+        |  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION ALL
+        |  SELECT r.src, e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node WHERE r.d < 4)
+        |SELECT src AS node, min(node) AS comp FROM reach GROUP BY src ORDER BY node""".stripMargin)
+  )
+
+  // =====================================================================
+  // events (time windows, sessionization)
+  // =====================================================================
+  val events: Map[String, (Q, String)] = Map(
+    "q_events_window" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      read(s, dir, "events")
+        .withColumn("bucket", floor(unix_micros($"ts".cast("timestamp")) / 300000000L))
+        .groupBy($"bucket", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("sum_value_cents"))
+        .orderBy($"bucket", $"event_type")
+    },
+      """SELECT CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) AS bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_sessionize" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      read(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts".cast("timestamp")), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || unix_micros($"ts".cast("timestamp")) - $"prev_us" > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |    FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  def all: Map[String, (Q, String)] = relational ++ spatial ++ graphRel ++ events
+
+  def queries: Map[String, Q] = all.map { case (k, (q, _)) => k -> q }
+  def oracleSql: Map[String, String] = all.collect {
+    case (k, (_, sql)) if sql != null => k -> sql
+  }
+}
