@@ -343,7 +343,213 @@ object GraftQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
-  def all: Map[String, (Q, String)] = relational ++ spatial ++ graphRel ++ events
+  // =====================================================================
+  // text analysis (lang-ID, quality, tokens, fingerprint)
+  // =====================================================================
+  private val bigramWith = "WITH RECURSIVE " + TextOps.Sql.bigramCte("documents")
+
+  val text: Map[String, (Q, String)] = Map(
+    "q_lang_id" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = read(s, dir, "documents")
+      val scored = d.select($"doc_id",
+        TextOps.langScore($"text", "de").as("s_de"),
+        TextOps.langScore($"text", "en").as("s_en"),
+        TextOps.langScore($"text", "es").as("s_es"),
+        TextOps.langScore($"text", "fr").as("s_fr"))
+      scored.withColumn("lang_guess",
+        when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+          .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+          .when($"s_es" >= $"s_fr", "es")
+          .otherwise("fr"))
+        .select($"doc_id", $"s_de", $"s_en", $"s_es", $"s_fr", $"lang_guess")
+    },
+      s"""WITH scored AS (SELECT doc_id,
+         |  ${TextOps.Sql.langScore("text", "de")} AS s_de,
+         |  ${TextOps.Sql.langScore("text", "en")} AS s_en,
+         |  ${TextOps.Sql.langScore("text", "es")} AS s_es,
+         |  ${TextOps.Sql.langScore("text", "fr")} AS s_fr
+         |FROM documents)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_guess
+         |FROM scored""".stripMargin),
+
+    "q_token_stats" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      read(s, dir, "documents").select($"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("n_tokens"),
+        TextOps.tokenEstimate($"text").cast("long").as("token_est"),
+        TextOps.qualityScore($"text").as("quality"))
+    },
+      s"""SELECT doc_id,
+         |  CAST(${TextOps.Sql.tokenCount("text")} AS BIGINT) AS n_tokens,
+         |  CAST(${TextOps.Sql.tokenCount("text")} + ceil(length(text) / 4.0) AS BIGINT) AS token_est,
+         |  round((least(CAST(${TextOps.Sql.tokenCount("text")} AS DOUBLE) / 50.0, 1.0) +
+         |    CASE WHEN CAST(length(text) AS DOUBLE) / ${TextOps.Sql.tokenCount("text")} >= 3
+         |          AND CAST(length(text) AS DOUBLE) / ${TextOps.Sql.tokenCount("text")} <= 8
+         |         THEN 1.0 ELSE 0.5 END +
+         |    CASE WHEN ((${TextOps.Sql.wordCount("text", "the")}) + (${TextOps.Sql.wordCount("text", "a")}))
+         |            / CAST(${TextOps.Sql.tokenCount("text")} AS DOUBLE) > 0.02
+         |          AND ((${TextOps.Sql.wordCount("text", "the")}) + (${TextOps.Sql.wordCount("text", "a")}))
+         |            / CAST(${TextOps.Sql.tokenCount("text")} AS DOUBLE) < 0.5
+         |         THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS quality
+         |FROM documents""".stripMargin),
+
+    "q_fingerprint" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val grams = TextOps.wordBigrams(read(s, dir, "documents"), "doc_id", "text")
+      TextOps.fingerprint(grams, "doc_id").orderBy($"doc_id")
+    },
+      s"""$bigramWith
+         |SELECT doc_id,
+         |  CAST((sum(${TextOps.Sql.gramHash}) % 1000000007 + count(*)) % 1000000007 AS BIGINT) AS fingerprint
+         |FROM grams GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  // =====================================================================
+  // dedup family (exact, n-gram jaccard, minhash+LSH, simhash, embedding)
+  // =====================================================================
+  val dedup: Map[String, (Q, String)] = Map(
+    "q_dedup_exact" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      DedupOps.exact(read(s, dir, "documents")).orderBy($"canonical_id")
+    },
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin),
+
+    "q_ngram_jaccard" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      DedupOps.ngramJaccard(read(s, dir, "documents"), 0.12).orderBy($"a", $"b")
+    },
+      s"""$bigramWith,
+         |gh AS (SELECT DISTINCT doc_id, ${TextOps.Sql.gramHash} AS h FROM grams),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+         |  FROM gh x JOIN gh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT a, b, round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b) t
+         |WHERE jaccard >= 0.12 ORDER BY a, b""".stripMargin),
+
+    "q_minhash" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      DedupOps.minhash(read(s, dir, "documents"))
+        .select($"doc_id", $"j".cast("long").as("j"), $"mh")
+        .orderBy($"doc_id", $"j")
+    },
+      s"""$bigramWith,
+         |gh AS (SELECT DISTINCT doc_id, ${TextOps.Sql.gramHash} AS h FROM grams),
+         |js(j) AS (SELECT 1 UNION ALL SELECT j + 1 FROM js WHERE j < ${DedupOps.NumHashes})
+         |SELECT doc_id, CAST(j AS BIGINT) AS j,
+         |  CAST(min(((j * 2 + 1) * h + j * 12345) % ${DedupOps.MinhashPrime}) AS BIGINT) AS mh
+         |FROM gh, js GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_minhash_lsh" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      DedupOps.minhashLsh(read(s, dir, "documents")).orderBy($"a", $"b")
+    },
+      s"""$bigramWith,
+         |gh AS (SELECT DISTINCT doc_id, ${TextOps.Sql.gramHash} AS h FROM grams),
+         |js(j) AS (SELECT 1 UNION ALL SELECT j + 1 FROM js WHERE j < ${DedupOps.NumHashes}),
+         |mh AS (SELECT doc_id, j,
+         |  min(((j * 2 + 1) * h + j * 12345) % ${DedupOps.MinhashPrime}) AS mh
+         |  FROM gh, js GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST((j + 1) // 2 AS INTEGER) AS band, sum(mh) AS sig
+         |  FROM mh GROUP BY 1, 2)
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_simhash" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      DedupOps.simhash(read(s, dir, "documents")).orderBy($"doc_id")
+    },
+      {
+        val bitsSql = (0 until 16).map { k =>
+          val p = 1L << k
+          s"CASE WHEN sum(CASE WHEN h % ${2 * p} >= $p THEN 1 ELSE -1 END) > 0 THEN CAST($p AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+        s"""$bigramWith,
+           |gh AS (SELECT DISTINCT doc_id, ${TextOps.Sql.gramHash} AS h FROM grams)
+           |SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash
+           |FROM gh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    "q_embed_cosine" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      DedupOps.embeddingCosine(read(s, dir, "embeddings"), 0.93).orderBy($"a", $"b")
+    },
+      """WITH comp AS (
+        |  SELECT vec_id, label, idx.i AS i, CAST(embedding[idx.i] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY 1),
+        |dots AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dot
+        |  FROM comp x JOIN comp y
+        |    ON x.label = y.label AND x.i = y.i AND x.vec_id < y.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, cos FROM (
+        |  SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b) t
+        |WHERE cos >= 0.93 ORDER BY a, b""".stripMargin)
+  )
+
+  // =====================================================================
+  // ANN (brute-force top-k baseline + LSH bucket histogram)
+  // =====================================================================
+  val ann: Map[String, (Q, String)] = Map(
+    "q_ann_topk" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = read(s, dir, "embeddings")
+      AnnOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
+        .select($"q", $"neighbor", $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"q", $"rank")
+    },
+      """WITH comp AS (
+        |  SELECT vec_id, idx.i AS i, CAST(embedding[idx.i] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY 1),
+        |dots AS (
+        |  SELECT x.vec_id AS q, y.vec_id AS vec_id, sum(x.v * y.v) AS dot
+        |  FROM comp x JOIN comp y ON x.i = y.i AND x.vec_id <> y.vec_id
+        |  WHERE x.vec_id < 5 GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT dots.q AS q, dots.vec_id AS vec_id, round(dot / (nq.nrm * nc.nrm), 4) AS cos
+        |  FROM dots JOIN norms nq ON nq.vec_id = dots.q JOIN norms nc ON nc.vec_id = dots.vec_id),
+        |ranked AS (
+        |  SELECT q, vec_id AS neighbor,
+        |    row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS rank, cos
+        |  FROM sims)
+        |SELECT q, neighbor, CAST(rank AS BIGINT) AS rank, cos
+        |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin),
+
+    "q_ann_lsh_buckets" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      AnnOps.lshBuckets(read(s, dir, "embeddings"), 8)
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+      """WITH RECURSIVE comp AS (
+        |  SELECT vec_id, idx.i - 1 AS i, CAST(embedding[idx.i] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+        |js(j) AS (SELECT 0 UNION ALL SELECT j + 1 FROM js WHERE j < 7),
+        |projs AS (
+        |  SELECT vec_id, j, sum(v * ((i * 37 + j * 101) % 7 - 3)) AS proj
+        |  FROM comp, js GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM projs GROUP BY 1)
+        |SELECT bucket, count(*) AS n FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  def all: Map[String, (Q, String)] =
+    relational ++ spatial ++ graphRel ++ events ++ text ++ dedup ++ ann
 
   def queries: Map[String, Q] = all.map { case (k, (q, _)) => k -> q }
   def oracleSql: Map[String, String] = all.collect {

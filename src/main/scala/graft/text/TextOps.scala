@@ -95,7 +95,7 @@ object TextOps {
         "ascii(substr(gram || '####', 3, 1))) * 31 + ascii(substr(gram || '####', 4, 1)) * 127 + length(gram))"
     /** word-bigram extraction via a recursive nums CTE + split_part —
       * plain ANSI so DuckDB surely supports it. Yields (doc_id, pos, gram). */
-    def bigramCte(docsTable: String, maxWords: Int = 256): String =
+    def bigramCte(docsTable: String, maxWords: Int = 99): String =
       s"""nums(i) AS (SELECT 1 UNION ALL SELECT i + 1 FROM nums WHERE i < $maxWords),
          |words AS (SELECT doc_id, ${tokenCount("text")} AS n_words, text FROM $docsTable),
          |grams AS (
