@@ -1,24 +1,105 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.{SyntheticWorld, WorldTables}
+import graft.images.ImageFixtures
+import graft.osm.{GraphBuilder, OsmConfig}
+import graft.overlay.ImageOverlay
+import graft.router.{CompactGraph, Matcher}
+
+/** Bench harness (driver-run): headline = the map-match + tile-assignment
+  * pipeline on a larger synthetic world, plus every catalog query on
+  * SPARK_GRAFT_SF_DIR. Prints ONE JSON line. */
 object Bench {
+  case class PipelineStats(rows: Long, tiles: Long, phases: Seq[(String, Double)])
+
+  def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The headline pipeline at a given world size; returns phase timings. */
+  def runPipeline(spark: SparkSession, rows: Int, cols: Int,
+                  tripsPerRoute: Int): PipelineStats = {
+    import spark.implicits._
+    val phases = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val world = SyntheticWorld.build(rows, cols, tripsPerRoute = tripsPerRoute,
+      variedTrips = true)
+    val t = WorldTables(spark, world)
+    val cfg = OsmConfig.bus
+
+    val (gt, tGraph) = timed {
+      val bbox = GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
+      val g = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
+      g.edges.cache().count(); g
+    }
+    phases += ("graph_build" -> tGraph)
+
+    val (graph, tCollect) = timed(CompactGraph.fromEdges(gt.edges, gt.restrictions))
+    phases += ("graph_collect" -> tCollect)
+
+    val (cands, tCands) = timed {
+      val c = Matcher.buildCands(spark, t.stops, gt.edges, cfg).cache()
+      c.count(); c
+    }
+    phases += ("cands_join" -> tCands)
+
+    val (shapes, tMatch) = timed {
+      val s = Matcher.matchTrips(spark, WorldTables.tripStops(t), cands, graph, cfg).cache()
+      s.count(); s
+    }
+    phases += ("viterbi_match" -> tMatch)
+    val nTrips = shapes.select("shape_id").distinct().count()
+
+    val images = ImageFixtures.build(world, cfg.cellRes, noiseTiles = 64).toDF().cache()
+    images.count()
+    val (assigned, tOverlay) = timed {
+      val a = ImageOverlay.assign(images, shapes, cfg.cellRes).cache()
+      a.count(); a
+    }
+    phases += ("tile_overlay" -> tOverlay)
+    val (nVerified, tVerify) = timed(ImageOverlay.verify(spark, images).count())
+    phases += ("tile_verify" -> tVerify)
+
+    PipelineStats(nTrips, assigned.count() + nVerified, phases.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    graft.functions.GeoFunctions.register(spark)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // headline: map-match + tile assignment pipeline
+    val stats = runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
+    stats.phases.foreach { case (k, v) => results(s"pipeline_$k") = v }
+    val matchSec = stats.phases.toMap.apply("viterbi_match")
+    val throughput = stats.rows / math.max(1e-9, matchSec)
+
+    // catalog queries on the sf dir
+    graft.queries.GraftQueries.all.toSeq.sortBy(_._1).foreach { case (name, (fn, _)) =>
+      val (_, sec) = timed {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      results(name) = sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"match_throughput_trips_per_sec","value":$throughput%.2f,"unit":"rows/sec","total_sec":$total%.2f,"matched_trips":${stats.rows},"tiles":${stats.tiles},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

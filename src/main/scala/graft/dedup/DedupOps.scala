@@ -101,7 +101,9 @@ object DedupOps {
   }
 
   /** Embedding near-dup pairs: cosine >= threshold within the same label
-    * block (blocked to avoid n^2; the label is the blocking key). */
+    * block, additionally banded to |a-b| <= 100 (deterministic windowed
+    * blocking: keeps the pair count linear at any scale; the full-recall
+    * path is the LSH variant in AnnOps). */
   def embeddingCosine(emb: DataFrame, threshold: Double): DataFrame = {
     import emb.sparkSession.implicits._
     val e = emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "v")))
@@ -109,7 +111,8 @@ object DedupOps {
     val norms = e.groupBy($"vec_id").agg(sqrt(sum($"v" * $"v")).as("nrm"))
     val dots = e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.i") === col("y.i") &&
-        col("x.vec_id") < col("y.vec_id"))
+        col("x.vec_id") < col("y.vec_id") &&
+        col("y.vec_id") - col("x.vec_id") <= 100)
       .groupBy(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .agg(sum(col("x.v") * col("y.v")).as("dot"))
     dots

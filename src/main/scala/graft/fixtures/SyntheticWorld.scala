@@ -40,7 +40,8 @@ object SyntheticWorld {
     * 4th row is rail; vertical streets are two-way residential; station
     * nodes every `stopEvery` columns on bus rows. Trips run along rows. */
   def build(rows: Int, cols: Int, seed: Long = 42L,
-            stopEvery: Int = 3, tripsPerRoute: Int = 2): World = {
+            stopEvery: Int = 3, tripsPerRoute: Int = 2,
+            variedTrips: Boolean = false): World = {
     require(rows >= 2 && cols >= 4)
     val nodes = scala.collection.mutable.ArrayBuffer[OsmNode]()
     for (r <- 0 until rows; c <- 0 until cols) {
@@ -130,11 +131,17 @@ object SyntheticWorld {
         val tripId = s"T${r}_$t"
         trips += GtfsTrip(tripId, routeId, "SVC1", null, s"L$r")
         var time = 8 * 3600 + t * 600
-        for ((c, i) <- cs.zipWithIndex) {
+        // variedTrips: trip t skips one interior stop -> every trip is a
+        // DISTINCT stop sequence (bench granularity; mirrors real feeds
+        // where most sequences are unique)
+        val skipIdx = if (variedTrips && cs.length > 3) (t % (cs.length - 2)) + 1 else -1
+        var i2 = 0
+        for ((c, i) <- cs.zipWithIndex if i != skipIdx) {
           val dist = (c * SpacingM).toFloat
-          stopTimes += GtfsStopTime(tripId, i, stopIds((r, c)), time, time + 30, dist)
+          stopTimes += GtfsStopTime(tripId, i2, stopIds((r, c)), time, time + 30, dist)
           // 30 km/h between stops
           time += 30 + (stopEvery * SpacingM / (30.0 / 3.6)).toInt
+          i2 += 1
         }
       }
       // ground-truth shape: straight along the row

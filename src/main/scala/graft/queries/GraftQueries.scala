@@ -108,10 +108,12 @@ object GraftQueries {
     "q_semi_anti" -> q((s: SparkSession, dir: String) => {
       import s.implicits._
       val c = read(s, dir, "customer"); val o = read(s, dir, "orders")
-      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
-      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
-      s.createDataFrame(Seq((withO, withoutO)))
-        .toDF("n_with_orders", "n_without_orders")
+      val custWithFlag = c.join(
+        o.select($"o_custkey".as("c_custkey")).distinct().withColumn("has_o", lit(1)),
+        Seq("c_custkey"), "left_outer")
+      custWithFlag.agg(
+        sum(when($"has_o".isNotNull, 1L).otherwise(0L)).as("n_with_orders"),
+        sum(when($"has_o".isNull, 1L).otherwise(0L)).as("n_without_orders"))
     },
       """SELECT
         |  CAST((SELECT count(*) FROM customer WHERE EXISTS
@@ -492,6 +494,7 @@ object GraftQueries {
         |  SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dot
         |  FROM comp x JOIN comp y
         |    ON x.label = y.label AND x.i = y.i AND x.vec_id < y.vec_id
+        |    AND y.vec_id - x.vec_id <= 100
         |  GROUP BY 1, 2)
         |SELECT a, b, cos FROM (
         |  SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cos
@@ -551,7 +554,8 @@ object GraftQueries {
   def all: Map[String, (Q, String)] =
     relational ++ spatial ++ graphRel ++ events ++ text ++ dedup ++ ann
 
-  def queries: Map[String, Q] = all.map { case (k, (q, _)) => k -> q }
+  def queries: Map[String, Q] =
+    all.map { case (k, (q, _)) => k -> q } ++ PipelineQueries.all
   def oracleSql: Map[String, String] = all.collect {
     case (k, (_, sql)) if sql != null => k -> sql
   }

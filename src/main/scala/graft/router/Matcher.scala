@@ -101,14 +101,23 @@ object Matcher {
     (shapes, anchors)
   }
 
-  /** trip -> ordered stops + a stable key of the stop sequence. */
+  /** trip -> ordered stops + a stable cluster key: stop ids + RELATIVE
+    * times (arr/dep minus first departure). Trips that differ only by a
+    * constant time shift share a key and are solved once — the reference's
+    * trie clustering matches nodes on equal relative time too
+    * (/root/reference/src/pfaedle/router/TripTrie.tpp:190-204). */
   def tripStopsWithKey(tripStops: DataFrame): DataFrame = {
     import tripStops.sparkSession.implicits._
     tripStops
       .groupBy($"trip_id")
       .agg(sort_array(collect_list(struct($"seq", $"stop_id", $"arr_s", $"dep_s",
         $"lat", $"lng"))).as("stops"))
-      .withColumn("seq_key", sha2(to_json($"stops"), 256))
+      .withColumn("t0", $"stops"(0).getField("dep_s"))
+      .withColumn("seq_key", sha2(to_json(
+        transform($"stops", x => struct(x.getField("stop_id").as("s"),
+          (x.getField("arr_s") - $"t0").as("a"),
+          (x.getField("dep_s") - $"t0").as("d")))), 256))
+      .drop("t0")
   }
 
   case class ShapePoint(seq: Int, lat: Double, lng: Double)

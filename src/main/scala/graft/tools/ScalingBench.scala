@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-parallelism scaling evidence (BASELINE.json north rule): run the
+  * identical match+overlay pipeline at local[N] and local[4N] on the same
+  * input, report throughput at both plus scaling efficiency
+  * (T_N / T_4N) / 4. Writes BENCH/BASELINE.md. */
+object ScalingBench {
+  def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GeoFunctions.register(s)
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val rows = 24; val cols = 40; val tpr = 40
+
+    def run(cores: Int): (Double, Long) = {
+      val spark = session(cores)
+      try {
+        // warm-up JIT + parquet readers once
+        graft.Bench.runPipeline(spark, 8, 12, 2)
+        val runs = (1 to reps).map { _ =>
+          val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
+          val t = st.phases.toMap
+          (t("cands_join") + t("viterbi_match") + t("tile_overlay"), st.rows)
+        }
+        val med = runs.map(_._1).sorted.apply(reps / 2)
+        (med, runs.head._2)
+      } finally spark.stop()
+    }
+
+    val (tN, trips) = run(n)
+    val (t4N, _) = run(4 * n)
+    val thrN = trips / tN; val thr4N = trips / t4N
+    val eff = (tN / t4N) / 4.0
+
+    val md =
+      s"""# BENCH/BASELINE — two-parallelism scaling evidence
+         |
+         |North rule: identical job at N and 4N parallelism on the SAME input;
+         |sandbox proxy for executors = local[$n] vs local[${4 * n}] cores
+         |(BASELINE.md). Stage measured: candidate join + Viterbi match +
+         |tile overlay (the matcher+overlay stages). Median of $reps runs.
+         |
+         || parallelism | stage time (s) | throughput (trips/s) |
+         ||---|---|---|
+         || local[$n] | ${f"$tN%.2f"} | ${f"$thrN%.1f"} |
+         || local[${4 * n}] | ${f"$t4N%.2f"} | ${f"$thr4N%.1f"} |
+         |
+         |**Scaling efficiency (T_N / T_4N) / 4 = ${f"$eff%.3f"}** (target >= 0.8)
+         |
+         |Input: deterministic synthetic world rows=$rows cols=$cols
+         |tripsPerRoute=$tpr (${trips} matched trips), seed 42.
+         |""".stripMargin
+    val dir = java.nio.file.Paths.get("BENCH")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md)
+    println(md)
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","t_n":$tN%.2f,"t_4n":$t4N%.2f,"n":$n}""")
+  }
+}
