@@ -134,9 +134,12 @@ object SyntheticWorld {
         // variedTrips: trip t skips one interior stop -> every trip is a
         // DISTINCT stop sequence (bench granularity; mirrors real feeds
         // where most sequences are unique)
-        val skipIdx = if (variedTrips && cs.length > 3) (t % (cs.length - 2)) + 1 else -1
+        // two varied skip positions -> up to (k-2)^2 distinct patterns
+        val k = cs.length - 2
+        val skipA = if (variedTrips && cs.length > 3) (t % k) + 1 else -1
+        val skipB = if (variedTrips && cs.length > 5 && t >= k) ((t / k + t) % k) + 1 else -1
         var i2 = 0
-        for ((c, i) <- cs.zipWithIndex if i != skipIdx) {
+        for ((c, i) <- cs.zipWithIndex if i != skipA && i != skipB) {
           val dist = (c * SpacingM).toFloat
           stopTimes += GtfsStopTime(tripId, i2, stopIds((r, c)), time, time + 30, dist)
           // 30 km/h between stops

@@ -50,6 +50,14 @@ class CompactGraph(
   }
   val numNodes: Int = nodeIndex.size
 
+  /** dense node indices per stored edge — the hot path must never touch
+    * nodeIndex (HashMap<Long> boxes a Long per lookup; that allocation in
+    * the Dijkstra inner loop dominated kernel time) */
+  val edgeFromIdx: Array[Int] = Array.tabulate(numEdges)(i => nodeIndex.get(edgeFrom(i)).intValue())
+  val edgeToIdx: Array[Int] = Array.tabulate(numEdges)(i => nodeIndex.get(edgeTo(i)).intValue())
+  @inline def dirFromIdx(de: Int): Int = if ((de & 1) == 0) edgeFromIdx(de >> 1) else edgeToIdx(de >> 1)
+  @inline def dirToIdx(de: Int): Int = if ((de & 1) == 0) edgeToIdx(de >> 1) else edgeFromIdx(de >> 1)
+
   @inline def dirFrom(de: Int): Long = if ((de & 1) == 0) edgeFrom(de >> 1) else edgeTo(de >> 1)
   @inline def dirTo(de: Int): Long = if ((de & 1) == 0) edgeTo(de >> 1) else edgeFrom(de >> 1)
   @inline def dirAllowed(de: Int): Boolean = {
@@ -133,11 +141,53 @@ class CompactGraph(
     }
     Array.tabulate(numNodes)(find)
   }
+  /** max speed (m/s) per component label — the reference's per-component
+    * Component{maxSpeed} (NodePL.h:23-25), used to sharpen the A* heuristic
+    * (a global vmax over-estimates and quadratically widens the search). */
+  val compMaxSpeedMs: java.util.HashMap[Int, Double] = {
+    val m = new java.util.HashMap[Int, Double]()
+    var i = 0
+    while (i < numEdges) {
+      if (cost10(i) > 0) {
+        val v = lenM(i) * 10.0 / cost10(i)
+        val c = compOf(edgeFromIdx(i))
+        val cur = m.get(c)
+        if (cur == null || v > cur.doubleValue()) m.put(c, v)
+      }
+      i += 1
+    }
+    m
+  }
+  def compMaxSpeed(comp: Int): Double = {
+    val v = compMaxSpeedMs.get(comp)
+    if (v == null) 1.0 else v.doubleValue()
+  }
+
   def compOfNode(nodeId: Long): Int = {
     val n = nodeIndex.get(nodeId)
     if (n == null) -1 else compOf(n)
   }
   def compOfDir(de: Int): Int = compOfNode(dirFrom(de))
+
+  @inline def dirToLat(de: Int): Double = {
+    val i = de >> 1
+    if ((de & 1) == 0) geomLat(i)(geomLat(i).length - 1) else geomLat(i)(0)
+  }
+  @inline def dirToLon(de: Int): Double = {
+    val i = de >> 1
+    if ((de & 1) == 0) geomLon(i)(geomLon(i).length - 1) else geomLon(i)(0)
+  }
+  /** point just before the directed end (for turn angles), no allocation */
+  @inline def dirPrevLat(de: Int): Double = {
+    val i = de >> 1
+    if ((de & 1) == 0) geomLat(i)(geomLat(i).length - 2) else geomLat(i)(1)
+  }
+  @inline def dirPrevLon(de: Int): Double = {
+    val i = de >> 1
+    if ((de & 1) == 0) geomLon(i)(geomLon(i).length - 2) else geomLon(i)(1)
+  }
+
+  val hasRestrictions: Boolean = restrictionsIn.nonEmpty
 
   /** Geometry of a directed edge (oriented). */
   def dirGeom(de: Int): Array[(Double, Double)] = {
@@ -148,16 +198,18 @@ class CompactGraph(
 
   /** Angle-based full-turn test between consecutive directed edges at their
     * shared node (Weights.cpp:136-155 semantics): reverse edge, or sharp
-    * angle at a node with degree > 2. */
+    * angle at a node with degree > 2. Allocation-free — runs once per
+    * Dijkstra relaxation. */
   def isFullTurn(fromDir: Int, toDir: Int, fullTurnAngleDeg: Double): Boolean = {
     if ((fromDir >> 1) == (toDir >> 1) && fromDir != toDir) return true // U-turn on same edge
-    val node = dirTo(fromDir)
-    if (outDegree(node) <= 2) return false
-    val gFrom = dirGeom(fromDir); val gTo = dirGeom(toDir)
-    val a = gFrom(math.max(0, gFrom.length - 2))
-    val b = gFrom.last
-    val c = gTo(math.min(1, gTo.length - 1))
-    Geo.innerAngleDeg(a._1, a._2, b._1, b._2, c._1, c._2) < fullTurnAngleDeg
+    val ni = dirToIdx(fromDir)
+    if (adjOffsets(ni + 1) - adjOffsets(ni) <= 2) return false
+    // angle at the shared node: fromDir's last segment vs toDir's first
+    // (toDir's second point = prev point of its reverse direction)
+    Geo.innerAngleDeg(
+      dirPrevLat(fromDir), dirPrevLon(fromDir),
+      dirToLat(fromDir), dirToLon(fromDir),
+      dirPrevLat(toDir ^ 1), dirPrevLon(toDir ^ 1)) < fullTurnAngleDeg
   }
 }
 

@@ -1,0 +1,45 @@
+package graft.router
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Executor-global hop-cost memo — the engine's analog of the reference's
+  * HopCache (/root/reference/src/pfaedle/router/HopCache.h:17-34) plus its
+  * cross-trie reuse (hop cache scoped per forest,
+  * ShapeBuilder.cpp:1189-1193). Keyed by (source directed edge, quantized
+  * source progress, cutoff, target set); the value stores the outcome of
+  * the full cutoff-doubling search: raw g-cost + path per target directed
+  * edge. Distinct stop pairs repeat across thousands of trip patterns, so
+  * this collapses the Dijkstra count by orders of magnitude.
+  *
+  * Bounded: inserts stop at MaxEntries (no eviction — deterministic). */
+object HopCache {
+  final case class Key(fromDir: Int, progrQ: Int, cutoff10: Long, tHash: Long)
+  /** targets aligned with costs/paths; cost = Dijkstra.Inf if unreached */
+  final case class Val(targets: Array[Int], costs: Array[Long], paths: Array[Array[Int]])
+
+  val MaxEntries = 200000
+  private val map = new ConcurrentHashMap[Key, Val]()
+
+  def targetsHash(targets: Array[Int]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < targets.length) { h = 31 * h + targets(i); i += 1 }
+    h
+  }
+
+  def get(key: Key, targets: Array[Int]): Val = {
+    val v = map.get(key)
+    if (v == null) null
+    else if (java.util.Arrays.equals(v.targets, targets)) v
+    else null // 64-bit hash collision: treat as miss
+  }
+
+  def put(key: Key, v: Val): Unit = {
+    if (map.size() < MaxEntries) map.put(key, v)
+  }
+
+  def clear(): Unit = map.clear()
+  def size(): Int = map.size()
+  val Hits = new java.util.concurrent.atomic.LongAdder()
+  val Misses = new java.util.concurrent.atomic.LongAdder()
+}

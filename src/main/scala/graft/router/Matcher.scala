@@ -77,10 +77,12 @@ object Matcher {
   def matchTripsFull(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
                      graph: CompactGraph, cfg: OsmConfig): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val solved = solveDistinctSeqs(spark, tripStops, cands, graph, cfg).cache()
+    // key once, reuse for both the distinct-solve and the join-back
+    val keyed = tripStopsWithKey(tripStops).cache()
+    val solved = solveKeyedSeqs(spark, keyed, cands, graph, cfg).cache()
 
     // join back: every trip gets its sequence's points (skew: AQE handles)
-    val seqKeys = tripStopsWithKey(tripStops).select($"trip_id", $"seq_key").distinct()
+    val seqKeys = keyed.select($"trip_id", $"seq_key").distinct()
     val tripPoints = seqKeys.join(solved, Seq("seq_key"))
       .select($"trip_id".as("shape_id"), explode($"points").as("pt"))
       .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"))
@@ -132,7 +134,11 @@ object Matcher {
 
   /** One Viterbi solve per DISTINCT stop sequence (A2/A3 clustering). */
   def solveDistinctSeqs(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
-                        graph: CompactGraph, cfg: OsmConfig): DataFrame = {
+                        graph: CompactGraph, cfg: OsmConfig): DataFrame =
+    solveKeyedSeqs(spark, tripStopsWithKey(tripStops), cands, graph, cfg)
+
+  def solveKeyedSeqs(spark: SparkSession, keyed: DataFrame, cands: DataFrame,
+                     graph: CompactGraph, cfg: OsmConfig): DataFrame = {
     import spark.implicits._
     val bcGraph = spark.sparkContext.broadcast(graph)
     // stop dimension (bounded: every stop of the feed, ~10 cands each)
@@ -144,7 +150,7 @@ object Matcher {
     val bcCands = spark.sparkContext.broadcast(candArr)
     val cfgB = spark.sparkContext.broadcast(cfg)
 
-    val distinctSeqs = tripStopsWithKey(tripStops).dropDuplicates("seq_key")
+    val distinctSeqs = keyed.dropDuplicates("seq_key")
       .select($"seq_key", $"stops")
       .as[(String, Seq[Matcher.TS])]
 
@@ -160,9 +166,23 @@ object Matcher {
 object MatcherKernel {
   import Matcher.{ShapePoint, SolvedSeq}
 
+  /** cumulative kernel nanos + solve count (perf diagnostics) */
+  val KernelNanos = new java.util.concurrent.atomic.LongAdder()
+  val KernelSolves = new java.util.concurrent.atomic.LongAdder()
+
   val NullCandPen10 = 60000L // 100 min — dominated by any real snap
 
   def solveOne(seqKey: String,
+               stops: Array[Matcher.TS],
+               g: CompactGraph,
+               candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
+               cfg: OsmConfig): SolvedSeq = {
+    val t0 = System.nanoTime()
+    try solveOneImpl(seqKey, stops, g, candMap, cfg)
+    finally { KernelNanos.add(System.nanoTime() - t0); KernelSolves.increment() }
+  }
+
+  private def solveOneImpl(seqKey: String,
                stops: Array[Matcher.TS],
                g: CompactGraph,
                candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
@@ -189,14 +209,15 @@ object MatcherKernel {
     }.toArray
 
     val fullTurnPen10 = Geo.costToInt(cfg.fullTurnPenaltySec)
+    val hasRestr = g.hasRestrictions
     val turnPen: (Int, Int) => Long = (fromDir, toDir) => {
-      val via = g.dirTo(fromDir)
-      if (!g.mayTurn(via, fromDir, toDir)) -1L
+      if (hasRestr && !g.mayTurn(g.dirTo(fromDir), fromDir, toDir)) -1L
       else if (g.isFullTurn(fromDir, toDir, cfg.fullTurnAngleDeg)) fullTurnPen10
       else 0L
     }
 
-    val res = Viterbi.solve(g, layers, schedSec, turnPen)
+    val res = Viterbi.solve(g, layers, schedSec, turnPen,
+      vmaxMs = cfg.levelSpeedsKmh.max / 3.6)
 
     // materialize geometry: per hop either the routed polyline or a straight
     // fallback (ShapeBuilder.cpp:988-1028 getGeom straight-line fallback)

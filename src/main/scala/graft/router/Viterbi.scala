@@ -43,18 +43,18 @@ object Viterbi {
     */
   def solve(g: CompactGraph, cands: Array[Array[Cand]], schedSec: Array[Double],
             turnPen10: (Int, Int) => Long,
-            hopCache: java.util.HashMap[Long, Long] = new java.util.HashMap()): SolveResult = {
+            vmaxMs: Double = 85.0 / 3.6): SolveResult = {
     val nLayers = cands.length
     require(nLayers >= 1 && schedSec.length == nLayers - 1)
     val Inf = Dijkstra.Inf
+    val ws = WorkspacePool.get(2 * g.numEdges)
 
     // cost/pred lattice (CostsDAG/PredeDAG, Router.h:38-40)
     val cost = Array.tabulate(nLayers)(l => Array.fill[Long](cands(l).length)(Inf))
     val pred = Array.tabulate(nLayers)(l => Array.fill[Int](cands(l).length)(-1))
-    // per (layer, from, to): directed-edge path for backtrace materialization
-    val hopPaths = new java.util.HashMap[Long, Array[Int]]()
-    @inline def hpKey(layer: Int, fr: Int, to: Int): Long =
-      (layer.toLong << 40) | (fr.toLong << 20) | to.toLong
+    // best directed-edge path INTO each (layer, cand) — only the current
+    // winner is kept (a keyed map of every (fr,to) path churned ~MBs/solve)
+    val bestPath = Array.tabulate(nLayers)(l => new Array[Array[Int]](cands(l).length))
 
     var c0 = 0
     while (c0 < cands(0).length) {
@@ -66,19 +66,49 @@ object Viterbi {
     while (layer < nLayers - 1) {
       val from = cands(layer); val to = cands(layer + 1)
       val baseCutoff = maxHopCost10(schedSec(layer))
+      // A* heuristic (reference Weights.cpp:15-62): centroid of the target
+      // candidates + the max centroid->target distance keeps it admissible
+      // AND consistent; h(target) = 0 so cutoff termination stays exact.
+      var ctLat = 0.0; var ctLon = 0.0; var nT = 0
+      var ti0 = 0
+      while (ti0 < to.length) {
+        if (to(ti0).dirEdge >= 0) { ctLat += to(ti0).pLat; ctLon += to(ti0).pLon; nT += 1 }
+        ti0 += 1
+      }
+      val heur: Int => Long = if (nT == 0) null else {
+        ctLat /= nT; ctLon /= nT
+        var maxCentD = 0.0
+        // vmax: fastest edge among the TARGET components (reference's
+        // per-component maxSpeed, NodePL.h:23-25) — a reachable path stays
+        // within the source=target component, so this stays admissible
+        var vmax = 1.0
+        var ti1 = 0
+        while (ti1 < to.length) {
+          if (to(ti1).dirEdge >= 0) {
+            val d = Geo.approxDistM(ctLat, ctLon, to(ti1).pLat, to(ti1).pLon)
+            if (d > maxCentD) maxCentD = d
+            val v = g.compMaxSpeed(g.compOfDir(to(ti1).dirEdge))
+            if (v > vmax) vmax = v
+          }
+          ti1 += 1
+        }
+        val cLat = ctLat; val cLon = ctLon; val mcd = maxCentD
+        val vm = math.min(vmax, vmaxMs)
+        (de: Int) => {
+          val d = Geo.approxDistM(g.dirToLat(de), g.dirToLon(de), cLat, cLon) - mcd
+          if (d <= 0) 0L else (d / vm * 10.0).toLong
+        }
+      }
+      // targets: real candidate edges of the next layer (hoisted: shared
+      // by every source candidate of this layer)
+      val targets = to.collect { case c if c.dirEdge >= 0 => c.dirEdge }
+      val tHash = HopCache.targetsHash(targets)
       var fr = 0
       while (fr < from.length) {
         if (cost(layer)(fr) < Inf) {
           val fc = from(fr)
           if (fc.dirEdge >= 0) {
-            // targets: real candidate edges of the next layer
-            val targets = new java.util.BitSet(2 * g.numEdges)
-            var t = 0
-            while (t < to.length) {
-              if (to(t).dirEdge >= 0) targets.set(to(t).dirEdge)
-              t += 1
-            }
-            if (!targets.isEmpty) {
+            if (targets.nonEmpty) {
               // init cost: remaining part of the source edge after progr —
               // Router.tpp progression offset math, in deciseconds.
               // Dijkstra pays the FULL source edge cost, so subtract the
@@ -90,47 +120,74 @@ object Viterbi {
               // components, skip the search entirely
               val srcComp = g.compOfDir(fc.dirEdge)
               var anySameComp = false
-              var ti = targets.nextSetBit(0)
-              while (ti >= 0 && !anySameComp) {
-                if (g.compOfDir(ti) == srcComp) anySameComp = true
-                ti = targets.nextSetBit(ti + 1)
+              var ti = 0
+              while (ti < targets.length && !anySameComp) {
+                if (g.compOfDir(targets(ti)) == srcComp) anySameComp = true
+                ti += 1
               }
               if (anySameComp) {
-                // iterative deepening: cutoff doubling <= 3 steps (4.9)
-                var cutoff = baseCutoff
-                var step = 0
-                var res: Dijkstra.Result = null
-                var done = false
-                while (!done && step <= MaxDoublingSteps) {
-                  res = Dijkstra.oneToMany(g, fc.dirEdge, init, targets, cutoff, turnPen10)
-                  done = res.reached > 0 || step == MaxDoublingSteps
-                  cutoff *= 2; step += 1
-                }
+                // hop-cost memo (reference HopCache + cross-trie reuse):
+                // the same (source cand, target set, cutoff) repeats across
+                // thousands of trip patterns
+                val key = HopCache.Key(fc.dirEdge,
+                  math.round(fc.progr * 10000).toInt, baseCutoff, tHash)
+                var hv = HopCache.get(key, targets)
+                if (hv == null) {
+                  // iterative deepening: cutoff doubling <= 3 steps (4.9)
+                  var cutoff = baseCutoff
+                  var step = 0
+                  var done = false
+                  while (!done && step <= MaxDoublingSteps) {
+                    val reached = Dijkstra.oneToMany(g, ws, fc.dirEdge, init, targets,
+                      cutoff, turnPen10, heur)
+                    done = reached > 0 || step == MaxDoublingSteps
+                    cutoff *= 2; step += 1
+                  }
+                  val costs = new Array[Long](targets.length)
+                  val paths = new Array[Array[Int]](targets.length)
+                  var i = 0
+                  while (i < targets.length) {
+                    val td = targets(i)
+                    if (ws.isSettled(td)) {
+                      costs(i) = ws.costOf(td)
+                      paths(i) = Dijkstra.path(ws, fc.dirEdge, td)
+                    } else costs(i) = Inf
+                    i += 1
+                  }
+                  hv = HopCache.Val(targets, costs, paths)
+                  HopCache.put(key, hv)
+                  HopCache.Misses.increment()
+                } else HopCache.Hits.increment()
                 var t2 = 0
                 while (t2 < to.length) {
                   val tc = to(t2)
-                  if (tc.dirEdge >= 0 && res.settled.get(tc.dirEdge)) {
-                    // subtract un-traversed tail of the target edge
-                    val tgtCost = g.dirCost10(tc.dirEdge)
-                    var hop = res.cost(tc.dirEdge) -
-                      math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
-                    // same-edge special case: directly along one edge
-                    if (tc.dirEdge == fc.dirEdge) {
-                      hop =
-                        if (tc.progr >= fc.progr)
-                          math.round((tc.progr - fc.progr) * srcCost)
-                        else Inf // backwards on a directed edge: not this way
-                    }
-                    if (hop < Inf) {
-                      if (hop < 0) hop = 0
-                      val total = cost(layer)(fr) + hop + tc.pen10
-                      if (total < cost(layer + 1)(t2)) {
-                        cost(layer + 1)(t2) = total
-                        pred(layer + 1)(t2) = fr
-                        hopPaths.put(hpKey(layer, fr, t2),
-                          if (tc.dirEdge == fc.dirEdge && tc.progr >= fc.progr)
-                            Array(fc.dirEdge)
-                          else Dijkstra.path(res, fc.dirEdge, tc.dirEdge))
+                  if (tc.dirEdge >= 0) {
+                    // index of this cand's edge in the target array
+                    var ti2 = 0
+                    while (ti2 < targets.length && targets(ti2) != tc.dirEdge) ti2 += 1
+                    if (hv.costs(ti2) < Inf) {
+                      // subtract un-traversed tail of the target edge
+                      val tgtCost = g.dirCost10(tc.dirEdge)
+                      var hop = hv.costs(ti2) -
+                        math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
+                      // same-edge special case: directly along one edge
+                      if (tc.dirEdge == fc.dirEdge) {
+                        hop =
+                          if (tc.progr >= fc.progr)
+                            math.round((tc.progr - fc.progr) * srcCost)
+                          else Inf // backwards on a directed edge: not this way
+                      }
+                      if (hop < Inf) {
+                        if (hop < 0) hop = 0
+                        val total = cost(layer)(fr) + hop + tc.pen10
+                        if (total < cost(layer + 1)(t2)) {
+                          cost(layer + 1)(t2) = total
+                          pred(layer + 1)(t2) = fr
+                          bestPath(layer + 1)(t2) =
+                            if (tc.dirEdge == fc.dirEdge && tc.progr >= fc.progr)
+                              Array(fc.dirEdge)
+                            else hv.paths(ti2)
+                        }
                       }
                     }
                   }
@@ -149,7 +206,7 @@ object Viterbi {
             if (fallback < cost(layer + 1)(t3)) {
               cost(layer + 1)(t3) = fallback
               pred(layer + 1)(t3) = fr
-              hopPaths.put(hpKey(layer, fr, t3), Array.empty[Int])
+              bestPath(layer + 1)(t3) = Array.empty[Int]
             }
             t3 += 1
           }
@@ -180,7 +237,7 @@ object Viterbi {
     l = 0
     while (l < nLayers - 1) {
       val fr = chosen(l); val t = chosen(l + 1)
-      val p = hopPaths.get(hpKey(l, fr, t))
+      val p = bestPath(l + 1)(t)
       val edges = if (p == null) Array.empty[Int] else p
       hops(l) = HopPath(edges,
         if (fr >= 0) cands(l)(fr).progr else 0.0,

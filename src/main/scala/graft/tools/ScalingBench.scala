@@ -24,16 +24,26 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val rows = 24; val cols = 40; val tpr = 40
+    val rows = 48; val cols = 96; val tpr = 900
 
     def run(cores: Int): (Double, Long) = {
       val spark = session(cores)
       try {
-        // warm-up JIT + parquet readers once
+        // warm-up: one FULL-size run so JIT reaches steady state for the
+        // kernel at this thread count (cold-JIT runs measured 10x slower)
         graft.Bench.runPipeline(spark, 8, 12, 2)
+        spark.catalog.clearCache()
+        graft.Bench.runPipeline(spark, rows, cols, tpr)
         val runs = (1 to reps).map { _ =>
+          // each rep must redo the work: the CacheManager would otherwise
+          // serve rep 2+ from rep 1's cache and we'd measure pure overhead;
+          // same for the hop memo (both levels must start cold)
+          spark.catalog.clearCache()
+          graft.router.HopCache.clear()
           val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
           val t = st.phases.toMap
+          println(s"[phases cores=$cores] " + st.phases.map { case (k, v) =>
+            f"$k=$v%.2f" }.mkString(" "))
           (t("cands_join") + t("viterbi_match") + t("tile_overlay"), st.rows)
         }
         val med = runs.map(_._1).sorted.apply(reps / 2)

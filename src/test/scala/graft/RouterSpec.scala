@@ -32,32 +32,33 @@ class RouterSpec extends AnyFunSuite {
 
   test("1->N dijkstra exact costs (deciseconds)") {
     // source: e0 fwd (A->B, cost 100 ds), targets: e1 fwd end C, e2 fwd end D
-    val targets = new java.util.BitSet()
-    targets.set(2) // e1 fwd
-    targets.set(4) // e2 fwd
-    val res = Dijkstra.oneToMany(g, 0, 0L, targets, Long.MaxValue / 8, noPen)
-    assert(res.cost(0) == 100L)          // settle source: full e0
-    assert(res.cost(2) == 100L + 60L)    // A->B->C
-    assert(res.cost(4) == 100L + 60L + 1000L) // A->B->C->D
-    assert(res.reached == 2)
+    val ws = new RouterWorkspace(2 * g.numEdges)
+    val reached = Dijkstra.oneToMany(g, ws, 0, 0L, Array(2, 4), Long.MaxValue / 8, noPen)
+    assert(ws.costOf(0) == 100L)          // settle source: full e0
+    assert(ws.costOf(2) == 100L + 60L)    // A->B->C
+    assert(ws.costOf(4) == 100L + 60L + 1000L) // A->B->C->D
+    assert(reached == 2)
     // path materialization
-    assert(Dijkstra.path(res, 0, 4).toSeq == Seq(0, 2, 4))
+    assert(Dijkstra.path(ws, 0, 4).toSeq == Seq(0, 2, 4))
+    // workspace reuse: a second call must fully reset state
+    val reached2 = Dijkstra.oneToMany(g, ws, 0, 0L, Array(2), Long.MaxValue / 8, noPen)
+    assert(reached2 == 1 && ws.costOf(2) == 160L && !ws.isSettled(4))
   }
 
   test("cutoff stops expansion") {
-    val targets = new java.util.BitSet(); targets.set(4)
-    val res = Dijkstra.oneToMany(g, 0, 0L, targets, 200L, noPen)
-    assert(res.reached == 0)
-    assert(res.cost(4) >= Dijkstra.Inf || res.cost(4) > 200L)
+    val ws = new RouterWorkspace(2 * g.numEdges)
+    val reached = Dijkstra.oneToMany(g, ws, 0, 0L, Array(4), 200L, noPen)
+    assert(reached == 0)
+    assert(!ws.isSettled(4))
   }
 
   test("oneway blocks reverse direction") {
     val segsOw = segs.map { case (f, t, c, _, w) => (f, t, c, 1, w) } // all fwd-only
     val gw = CompactGraph.fromSegments(segsOw, coords)
     // from e1 fwd (B->C) there is no way back to A
-    val targets = new java.util.BitSet(); targets.set(1) // e0 rev is disallowed entirely
-    val res = Dijkstra.oneToMany(gw, 2, 0L, targets, Long.MaxValue / 8, noPen)
-    assert(res.reached == 0)
+    val ws = new RouterWorkspace(2 * gw.numEdges)
+    val reached = Dijkstra.oneToMany(gw, ws, 2, 0L, Array(1), Long.MaxValue / 8, noPen)
+    assert(reached == 0)
   }
 
   test("turn restriction forbids via transition, detour via U-turn works") {
@@ -65,12 +66,12 @@ class RouterSpec extends AnyFunSuite {
     val gr = CompactGraph.fromSegments(segs, coords, Seq((2L, 100L, 200L, false)))
     val pen: (Int, Int) => Long = (f, t) =>
       if (!gr.mayTurn(gr.dirTo(f), f, t)) -1L else 0L
-    val targets = new java.util.BitSet(); targets.set(6) // e3 fwd
-    val res = Dijkstra.oneToMany(gr, 0, 0L, targets, Long.MaxValue / 8, pen)
+    val ws = new RouterWorkspace(2 * gr.numEdges)
+    val reached = Dijkstra.oneToMany(gr, ws, 0, 0L, Array(6), Long.MaxValue / 8, pen)
     // direct turn blocked; cheapest legal: A->B, B->C, C->B (U-turn onto
     // way 150), then 150->200 at B is unrestricted: 100+60+60+70 ds
-    assert(res.cost(6) == 100L + 60L + 60L + 70L)
-    assert(Dijkstra.path(res, 0, 6).toSeq == Seq(0, 2, 3, 6))
+    assert(reached == 1 && ws.costOf(6) == 100L + 60L + 60L + 70L)
+    assert(Dijkstra.path(ws, 0, 6).toSeq == Seq(0, 2, 3, 6))
   }
 
   test("positive (only_) restriction allows only listed turn") {
