@@ -26,6 +26,44 @@ import graft.osm.OsmConfig
   */
 object Matcher {
 
+  /** Candidate generation with station-aware penalties (J4 + J6 + U1-U5):
+    * buildCands plus, per stop, a bonus for edges that touch an OSM station
+    * node whose (normalized) name is similar to the stop's — the
+    * reference's station snap with statsimi classification
+    * (OsmBuilder.cpp:1231-1313, StatsimiClassifier.cpp). Non-station
+    * candidates get nonStationPenaltySec added. stops must carry `name`. */
+  def buildCandsWithStations(spark: SparkSession, stops: DataFrame, edges: DataFrame,
+                             stations: DataFrame, cfg: OsmConfig): DataFrame = {
+    import spark.implicits._
+    // stop x station candidate pairs via the same k-ring join
+    val k = 1
+    val simUdf = udf((a: String, b: String, d: Double) =>
+      graft.functions.StringSim.stationsSimilar(a, b, d))
+    val stopRings = stops.select($"stop_id", $"name".as("stop_name"),
+        $"lat".as("s_lat"), $"lng".as("s_lng"))
+      .withColumn("cell", explode(kring(gcell($"s_lat", $"s_lng", cfg.cellRes), k)))
+    val simStations = stopRings
+      .join(stations.select($"node_id", $"name".as("st_name"),
+        $"lat".as("st_lat"), $"lon".as("st_lon"), $"cell"), Seq("cell"))
+      .withColumn("d_m", haversineM($"s_lat", $"s_lng", $"st_lat", $"st_lon"))
+      .filter($"d_m" <= cfg.maxSnapDistanceM)
+      .filter(simUdf($"stop_name", $"st_name", $"d_m"))
+      .select($"stop_id", $"node_id").distinct()
+    val cands = buildCands(spark, stops, edges, cfg)
+    val nonStationPen10 = graft.geo.Geo.costToInt(cfg.nonStationPenaltySec)
+    // an edge is a "station candidate" if either endpoint is a similar station
+    val edgeEnds = edges.select($"edge_id", $"from_id", $"to_id")
+    cands.join(edgeEnds, Seq("edge_id"), "left_outer")
+      .join(simStations.withColumnRenamed("node_id", "from_id")
+        .withColumn("st_from", lit(1)), Seq("stop_id", "from_id"), "left_outer")
+      .join(simStations.withColumnRenamed("node_id", "to_id")
+        .withColumn("st_to", lit(1)), Seq("stop_id", "to_id"), "left_outer")
+      .withColumn("pen10",
+        when($"st_from".isNotNull || $"st_to".isNotNull, $"pen10")
+          .otherwise($"pen10" + lit(nonStationPen10)))
+      .drop("from_id", "to_id", "st_from", "st_to")
+  }
+
   /** Candidate generation (J4/J5): broadcast k-ring join + projection.
     * stops(stop_id, lat, lng); edges from GraphBuilder.
     * Returns cands(stop_id, edge_id, progr, pen10, py, px, dist_m, oneway). */
@@ -101,6 +139,36 @@ object Matcher {
           .cast("float"))
       .select($"shape_id", $"seq", $"lat", $"lng", $"travel_dist")
     (shapes, anchors)
+  }
+
+  /** F7: trip eligibility — >= 2 stop times, route type within the MOT
+    * set, and (unless dropShapes) no pre-existing shape
+    * (ShapeBuilder.cpp:874-879). */
+  def eligibleTrips(trips: DataFrame, routes: DataFrame, stopTimes: DataFrame,
+                    mots: Set[Int], dropShapes: Boolean): DataFrame = {
+    import trips.sparkSession.implicits._
+    val counts = stopTimes.groupBy($"trip_id").agg(count(lit(1)).as("n_st"))
+    var t = trips.join(routes.select($"route_id", $"route_type"), Seq("route_id"))
+      .join(counts, Seq("trip_id"))
+      .filter($"n_st" >= 2 && $"route_type".isin(mots.toSeq: _*))
+    if (!dropShapes) t = t.filter($"shape_id".isNull || $"shape_id" === "")
+    t.select(trips.columns.map(col): _*)
+  }
+
+  /** F8: station-outlier filter for the feed bbox — drop stops that are
+    * unreachable from their neighbors at vmax within 3*(sched + 5 min)*2^3
+    * (ShapeBuilder.cpp:704-728): straight-line speed test via window lag. */
+  def nonOutlierStops(tripStops: DataFrame, vmaxMs: Double): DataFrame = {
+    import tripStops.sparkSession.implicits._
+    val w = Window.partitionBy($"trip_id").orderBy($"seq")
+    val flagged = tripStops
+      .withColumn("p_lat", lag($"lat", 1).over(w))
+      .withColumn("p_lng", lag($"lng", 1).over(w))
+      .withColumn("p_dep", lag($"dep_s", 1).over(w))
+      .withColumn("outlier", $"p_lat".isNotNull &&
+        haversineM($"p_lat", $"p_lng", $"lat", $"lng") >
+          lit(vmaxMs) * (($"arr_s" - $"p_dep" + 300) * 3 * 8))
+    flagged.filter(!$"outlier").select($"stop_id").distinct()
   }
 
   /** trip -> ordered stops + a stable cluster key: stop ids + RELATIVE

@@ -40,14 +40,16 @@ object ScalingBench {
           // same for the hop memo (both levels must start cold)
           spark.catalog.clearCache()
           graft.router.HopCache.clear()
+          System.gc()
           val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
-          val t = st.phases.toMap
           println(s"[phases cores=$cores] " + st.phases.map { case (k, v) =>
             f"$k=$v%.2f" }.mkString(" "))
-          (t("cands_join") + t("viterbi_match") + t("tile_overlay"), st.rows)
+          (st.phases.toMap, st.rows)
         }
-        val med = runs.map(_._1).sorted.apply(reps / 2)
-        (med, runs.head._2)
+        // per-phase medians: a GC pause landing in one phase of one rep
+        // must not dominate the stage sum
+        def med(k: String): Double = runs.map(_._1(k)).sorted.apply(reps / 2)
+        (med("cands_join") + med("viterbi_match") + med("tile_overlay"), runs.head._2)
       } finally spark.stop()
     }
 
