@@ -21,11 +21,13 @@ object WorldTables {
       truthShapes = w.truthShapes.toDF())
   }
 
-  /** J7: trip_id -> ordered stop rows with coordinates. */
+  /** J7: trip_id -> ordered stop rows with coordinates + line identity. */
   def tripStops(t: Tables): DataFrame = {
     import t.stopTimes.sparkSession.implicits._
     t.stopTimes
       .join(t.stops.select($"stop_id", $"lat", $"lng"), Seq("stop_id"))
-      .select($"trip_id", $"seq", $"stop_id", $"arr_s", $"dep_s", $"lat", $"lng")
+      .join(t.trips.select($"trip_id", $"trip_short_name".as("line_name")), Seq("trip_id"))
+      .select($"trip_id", $"seq", $"stop_id", $"arr_s", $"dep_s", $"lat", $"lng",
+        $"line_name")
   }
 }

@@ -122,4 +122,51 @@ object ImageCodec {
 
   /** Hamming distance between two 64-bit hashes. */
   def hammingDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Bilinear resize (multimodal feature-extract/thumbnail op) — real JDK
+    * implementation, no external libs. */
+  def resize(px: Array[Int], w: Int, h: Int, nw: Int, nh: Int): Array[Int] = {
+    val src = toBuffered(px, w, h)
+    val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    val gfx = dst.createGraphics()
+    gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    gfx.drawImage(src, 0, 0, nw, nh, null)
+    gfx.dispose()
+    val out = new Array[Int](nw * nh)
+    dst.getRGB(0, 0, nw, nh, out, 0, nw)
+    var i = 0
+    while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+    out
+  }
+
+  /** Simple feature vector (multimodal feature-extract stage): 4x4 mean
+    * luma grid + global mean/stddev, normalized to [0,1]. */
+  def featureVector(px: Array[Int], w: Int, h: Int): Array[Float] = {
+    val cells = new Array[Double](16); val counts = new Array[Int](16)
+    var sum = 0.0; var sumSq = 0.0
+    var y = 0
+    while (y < h) {
+      val cy = math.min(3, y * 4 / math.max(1, h))
+      var x = 0
+      while (x < w) {
+        val cx = math.min(3, x * 4 / math.max(1, w))
+        val p = px(y * w + x)
+        val luma = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+        cells(cy * 4 + cx) += luma; counts(cy * 4 + cx) += 1
+        sum += luma; sumSq += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    val mean = sum / n
+    val std = math.sqrt(math.max(0, sumSq / n - mean * mean))
+    val out = new Array[Float](18)
+    var i = 0
+    while (i < 16) { out(i) = (cells(i) / math.max(1, counts(i)) / 255.0).toFloat; i += 1 }
+    out(16) = (mean / 255.0).toFloat
+    out(17) = (std / 255.0).toFloat
+    out
+  }
 }

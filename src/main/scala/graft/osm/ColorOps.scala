@@ -1,0 +1,72 @@
+package graft.osm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.StringSim
+
+/** Color + shape bookkeeping aggregations (SURVEY A6-A8):
+  * shape-usage refcount/GC, route color consolidation, shape color vote. */
+object ColorOps {
+
+  /** A6: shape-usage refcount + GC — count trips per existing shape id;
+    * shapes with zero remaining users are dropped
+    * (ShapeBuilder.cpp:407-424,1226-1232). Returns surviving shape ids. */
+  def liveShapes(trips: DataFrame, shapes: DataFrame): DataFrame = {
+    import trips.sparkSession.implicits._
+    val used = trips.filter($"shape_id".isNotNull && $"shape_id" =!= "")
+      .groupBy($"shape_id").agg(count(lit(1)).as("n_trips"))
+    shapes.select($"shape_id").distinct()
+      .join(used, Seq("shape_id"), "left_semi")
+  }
+
+  /** A8: shape color vote — per matched trip, weight each traversed line
+    * color by covered edge length; a color wins when it covers > 90% of
+    * the matched length (ShapeBuilder.cpp:596-606,1249-1258).
+    * hops(trip_id, edge_ids[]); edges(edge_id, way_id, len_m);
+    * wayLines(way_id, line_id); lines(line_id, colour). */
+  def shapeColorVote(hops: DataFrame, edges: DataFrame, wayLines: DataFrame,
+                     lines: DataFrame, threshold: Double = 0.9): DataFrame = {
+    import hops.sparkSession.implicits._
+    val colorOf = udf((c: String) => StringSim.parseHexColor(c))
+    val hopEdges = hops.select($"trip_id", explode($"edge_ids").as("edge_id"))
+    val withColor = hopEdges
+      .join(edges.select($"edge_id", $"way_id", $"len_m"), Seq("edge_id"))
+      .join(wayLines, Seq("way_id"))
+      .join(lines.select($"line_id", colorOf($"colour").as("color")), Seq("line_id"))
+      .filter($"color" >= 0)
+    val totals = hopEdges
+      .join(edges.select($"edge_id", $"len_m"), Seq("edge_id"))
+      .groupBy($"trip_id").agg(sum($"len_m").as("total_m"))
+    withColor.groupBy($"trip_id", $"color").agg(sum($"len_m").as("color_m"))
+      .join(totals, Seq("trip_id"))
+      .withColumn("coverage", $"color_m" / $"total_m")
+      .filter($"coverage" > threshold)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"trip_id")
+          .orderBy($"coverage".desc, $"color")))
+      .filter($"rk" === 1)
+      .select($"trip_id", $"color", round($"coverage", 4).as("coverage"))
+  }
+
+  /** A7: route color consolidation — collect the voted colors per route;
+    * single color -> update in place; multiple -> split the route into
+    * `route_id::N` variants (ShapeBuilder.cpp:496-553,1213-1224).
+    * Returns (route_id, new_route_id, color, text_color). */
+  def consolidateRouteColors(trips: DataFrame, tripColors: DataFrame): DataFrame = {
+    import trips.sparkSession.implicits._
+    val textOf = udf((c: Int) => StringSim.textColorFor(c))
+    val perRoute = trips.select($"trip_id", $"route_id")
+      .join(tripColors.select($"trip_id", $"color"), Seq("trip_id"))
+      .select($"route_id", $"color").distinct()
+    val counts = perRoute.groupBy($"route_id").agg(count(lit(1)).as("n_colors"))
+    perRoute.join(counts, Seq("route_id"))
+      .withColumn("variant", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"route_id")
+          .orderBy($"color")))
+      .withColumn("new_route_id",
+        when($"n_colors" === 1, $"route_id")
+          .otherwise(concat($"route_id", lit("::"), $"variant")))
+      .select($"route_id", $"new_route_id", $"color", textOf($"color").as("text_color"))
+  }
+}

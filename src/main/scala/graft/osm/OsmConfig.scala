@@ -38,7 +38,10 @@ case class OsmConfig(
     nonStationPenaltySec: Double = 10.0,
     /** transition cost factor: expected = schedule seconds; pen per
       * surplus second (ExpoTransWeight analog) */
-    transitionPenalty: Double = 0.1)
+    transitionPenalty: Double = 0.1,
+    /** extra cost share on edges whose transit lines do NOT match the
+      * trip's line (G2 line-unmatched factors, Weights.cpp:65-155) */
+    lineUnmatchedPenaltyFactor: Double = 0.5)
 
 object OsmConfig {
   /** Bus-profile defaults (our own vocabulary, reference-like shape). */

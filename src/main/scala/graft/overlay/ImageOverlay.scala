@@ -71,3 +71,31 @@ object ImageOverlay {
         $"v._3".as("phash_ok"), $"v._4".as("caption_ok"))
   }
 }
+
+/** Multimodal column ops over the opaque binary column: decode -> resize /
+  * thumbnail / feature-extract, as batched UDF stages (the Scala analog of
+  * mapInPandas plumbing; decode is REAL via javax.imageio). The binary
+  * column flows through exactly one narrow stage — no shuffle. */
+object ImageTransforms {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+  import graft.images.ImageCodec
+
+  /** bytes -> PNG thumbnail bytes at (tw, th). */
+  def thumbnail(df: DataFrame, tw: Int, th: Int): DataFrame = {
+    val thumbUdf = udf((bytes: Array[Byte]) => {
+      val (px, w, h) = ImageCodec.decode(bytes)
+      if (px == null) null else ImageCodec.encodePng(ImageCodec.resize(px, w, h, tw, th), tw, th)
+    })
+    df.withColumn("thumb", thumbUdf(col("bytes")))
+  }
+
+  /** bytes -> 18-dim feature vector (4x4 luma grid + mean/std). */
+  def features(df: DataFrame): DataFrame = {
+    val featUdf = udf((bytes: Array[Byte]) => {
+      val (px, w, h) = ImageCodec.decode(bytes)
+      if (px == null) null else ImageCodec.featureVector(px, w, h)
+    })
+    df.withColumn("features", featUdf(col("bytes")))
+  }
+}

@@ -32,7 +32,8 @@ object PipelineQueries {
     val cfg = OsmConfig.bus
     val bbox = GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
     val gt = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
-    val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions)
+    val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions,
+      gt.wayLines, gt.transitLines)
     val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg)
     val (shapes0, anchors) =
       Matcher.matchTripsFull(spark, WorldTables.tripStops(t), cands, graph, cfg)

@@ -23,7 +23,7 @@ class CompactGraph(
     val wayId: Array[Long],
     val geomLat: Array[Array[Double]], // polyline per stored edge (>= 2 pts)
     val geomLon: Array[Array[Double]],
-    val edgeLines: Array[Array[Int]], // interned transit line ids per edge
+    val edgeLines: Array[Array[String]], // transit line short names per edge
     restrictionsIn: Array[(Long, Long, Long, Boolean)] // (via, fromWay, toWay, positive)
 ) extends Serializable {
 
@@ -226,7 +226,7 @@ object CompactGraph {
     val c10 = new Array[Long](n); val lm = new Array[Double](n)
     val ow = new Array[Int](n); val wy = new Array[Long](n)
     val gla = new Array[Array[Double]](n); val glo = new Array[Array[Double]](n)
-    val lines = Array.fill(n)(Array.empty[Int])
+    val lines = Array.fill(n)(Array.empty[String])
     segs.zipWithIndex.foreach { case ((f, t, cost, o, w), i) =>
       ef(i) = f; et(i) = t; c10(i) = Geo.costToInt(cost); ow(i) = o; wy(i) = w
       val (fl, fo) = coords(f); val (tl, to) = coords(t)
@@ -240,16 +240,31 @@ object CompactGraph {
     * the driver, then broadcast — the graph is the bounded dimension side;
     * the reference holds the same graph fully in RAM single-node). */
   def fromEdges(edges: org.apache.spark.sql.DataFrame,
-                restrictions: org.apache.spark.sql.DataFrame): CompactGraph = {
+                restrictions: org.apache.spark.sql.DataFrame): CompactGraph =
+    fromEdges(edges, restrictions, null, null)
+
+  /** Full builder: also attaches transit line short names per edge (from
+    * wayLines(way_id, line_id) x lines(line_id, short_name)) for the
+    * line-similarity cost shaping (G2/U6). */
+  def fromEdges(edges: org.apache.spark.sql.DataFrame,
+                restrictions: org.apache.spark.sql.DataFrame,
+                wayLines: org.apache.spark.sql.DataFrame,
+                lines: org.apache.spark.sql.DataFrame): CompactGraph = {
     val rows = edges.select("edge_id", "way_id", "from_id", "to_id",
       "from_lat", "from_lon", "to_lat", "to_lon", "cost10", "len_m", "oneway")
       .collect().sortBy(_.getLong(0))
     val n = rows.length
+    val wayToNames: Map[Long, Array[String]] =
+      if (wayLines == null || lines == null) Map.empty
+      else wayLines.join(lines, "line_id")
+        .select("way_id", "short_name").collect()
+        .groupBy(_.getLong(0))
+        .map { case (w, rs) => w -> rs.map(_.getString(1)).distinct }
     val ids = new Array[Long](n); val ef = new Array[Long](n); val et = new Array[Long](n)
     val c10 = new Array[Long](n); val lm = new Array[Double](n)
     val ow = new Array[Int](n); val wy = new Array[Long](n)
     val gla = new Array[Array[Double]](n); val glo = new Array[Array[Double]](n)
-    val lines = Array.fill(n)(Array.empty[Int])
+    val eln = new Array[Array[String]](n)
     var i = 0
     while (i < n) {
       val r = rows(i)
@@ -258,10 +273,11 @@ object CompactGraph {
       gla(i) = Array(r.getDouble(4), r.getDouble(6))
       glo(i) = Array(r.getDouble(5), r.getDouble(7))
       c10(i) = r.getLong(8); lm(i) = r.getDouble(9); ow(i) = r.getInt(10)
+      eln(i) = wayToNames.getOrElse(wy(i), Array.empty)
       i += 1
     }
     val restr = restrictions.select("via_node", "from_way", "to_way", "positive")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, lines, restr)
+    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, eln, restr)
   }
 }

@@ -112,6 +112,11 @@ object Matcher {
     * (trip_id, stop_idx, point_seq) — the generated feed's
     * shape_dist_traveled positions (what the reference writes into
     * stop_times, consumed by the eval as cut anchors). */
+  /** FIXTURES.md hops table of the last matchTripsFull call:
+    * (trip_id, hop_idx, edge_ids, reachable) — input to the color vote and
+    * the netgraph/GeoJSON debug sinks. */
+  @volatile var matchedHops: DataFrame = null
+
   def matchTripsFull(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
                      graph: CompactGraph, cfg: OsmConfig): (DataFrame, DataFrame) = {
     import spark.implicits._
@@ -126,6 +131,10 @@ object Matcher {
       .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"))
     val anchors = seqKeys.join(solved, Seq("seq_key"))
       .select($"trip_id", posexplode($"anchors").as(Seq("stop_idx", "point_seq")))
+    matchedHops = seqKeys.join(solved, Seq("seq_key"))
+      .select($"trip_id", explode($"hops").as("h"))
+      .select($"trip_id", $"h.hop_idx".as("hop_idx"),
+        $"h.edge_ids".as("edge_ids"), $"h.reachable".as("reachable"))
 
     // W2: cumulative measure as a running window sum (monotone by construction)
     val w = Window.partitionBy($"shape_id").orderBy($"seq")
@@ -178,23 +187,29 @@ object Matcher {
     * (/root/reference/src/pfaedle/router/TripTrie.tpp:190-204). */
   def tripStopsWithKey(tripStops: DataFrame): DataFrame = {
     import tripStops.sparkSession.implicits._
+    val hasLine = tripStops.columns.contains("line_name")
+    val lineAgg = if (hasLine) first($"line_name") else lit("")
     tripStops
       .groupBy($"trip_id")
       .agg(sort_array(collect_list(struct($"seq", $"stop_id", $"arr_s", $"dep_s",
-        $"lat", $"lng"))).as("stops"))
+        $"lat", $"lng"))).as("stops"),
+        coalesce(lineAgg, lit("")).as("line_name"))
       .withColumn("t0", $"stops"(0).getField("dep_s"))
-      .withColumn("seq_key", sha2(to_json(
+      // the cluster key includes the line identity: trips on different
+      // lines cost-shape differently (RoutingAttrs clustering, A2)
+      .withColumn("seq_key", sha2(concat(to_json(
         transform($"stops", x => struct(x.getField("stop_id").as("s"),
           (x.getField("arr_s") - $"t0").as("a"),
-          (x.getField("dep_s") - $"t0").as("d")))), 256))
+          (x.getField("dep_s") - $"t0").as("d")))), $"line_name"), 256))
       .drop("t0")
   }
 
   case class ShapePoint(seq: Int, lat: Double, lng: Double)
+  case class HopRow(hop_idx: Int, edge_ids: Array[Long], reachable: Boolean)
   /** anchors: index into points of each stop's snap position (used to write
     * per-stop shape_dist_traveled, the eval's cut anchors). */
   case class SolvedSeq(seq_key: String, points: Array[ShapePoint],
-                       anchors: Array[Int],
+                       anchors: Array[Int], hops: Array[HopRow],
                        n_hops: Int, n_unroutable: Int, cost10: Long)
   /** ordered stop row inside a sequence (encoder-compatible field names) */
   case class TS(seq: Int, stop_id: String, arr_s: Int, dep_s: Int,
@@ -219,11 +234,11 @@ object Matcher {
     val cfgB = spark.sparkContext.broadcast(cfg)
 
     val distinctSeqs = keyed.dropDuplicates("seq_key")
-      .select($"seq_key", $"stops")
-      .as[(String, Seq[Matcher.TS])]
+      .select($"seq_key", $"line_name", $"stops")
+      .as[(String, String, Seq[Matcher.TS])]
 
-    distinctSeqs.map { case (seqKey, stopsSorted) =>
-      MatcherKernel.solveOne(seqKey, stopsSorted.toArray, bcGraph.value,
+    distinctSeqs.map { case (seqKey, lineName, stopsSorted) =>
+      MatcherKernel.solveOne(seqKey, lineName, stopsSorted.toArray, bcGraph.value,
         bcCands.value, cfgB.value)
     }.toDF()
   }
@@ -240,17 +255,22 @@ object MatcherKernel {
 
   val NullCandPen10 = 60000L // 100 min — dominated by any real snap
 
-  def solveOne(seqKey: String,
+  def solveOne(seqKey: String, lineName: String,
                stops: Array[Matcher.TS],
                g: CompactGraph,
                candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
                cfg: OsmConfig): SolvedSeq = {
     val t0 = System.nanoTime()
-    try solveOneImpl(seqKey, stops, g, candMap, cfg)
+    try solveOneImpl(seqKey, lineName, stops, g, candMap, cfg)
     finally { KernelNanos.add(System.nanoTime() - t0); KernelSolves.increment() }
   }
 
-  private def solveOneImpl(seqKey: String,
+  /** back-compat overload (no line identity) */
+  def solveOne(seqKey: String, stops: Array[Matcher.TS], g: CompactGraph,
+               candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
+               cfg: OsmConfig): SolvedSeq = solveOne(seqKey, "", stops, g, candMap, cfg)
+
+  private def solveOneImpl(seqKey: String, lineName: String,
                stops: Array[Matcher.TS],
                g: CompactGraph,
                candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
@@ -278,14 +298,31 @@ object MatcherKernel {
 
     val fullTurnPen10 = Geo.costToInt(cfg.fullTurnPenaltySec)
     val hasRestr = g.hasRestrictions
+    // G2 line-unmatched cost shaping (Weights.cpp:65-155 / U6): edges whose
+    // transit lines do not include a line similar to the trip's pay a
+    // surcharge proportional to their cost; no-line edges likewise when the
+    // graph carries line data (writeNoLinePens analog)
+    val shapeLines = lineName != null && lineName.nonEmpty &&
+      g.edgeLines.exists(_.nonEmpty)
+    val unmatchedExtra10: Array[Long] =
+      if (!shapeLines) null
+      else Array.tabulate(g.numEdges) { i =>
+        val matches = g.edgeLines(i).exists(n =>
+          graft.functions.StringSim.lineSimi(lineName, n) > 0.5)
+        if (matches) 0L
+        else math.round(g.cost10(i) * cfg.lineUnmatchedPenaltyFactor)
+      }
     val turnPen: (Int, Int) => Long = (fromDir, toDir) => {
       if (hasRestr && !g.mayTurn(g.dirTo(fromDir), fromDir, toDir)) -1L
-      else if (g.isFullTurn(fromDir, toDir, cfg.fullTurnAngleDeg)) fullTurnPen10
-      else 0L
+      else {
+        val base = if (g.isFullTurn(fromDir, toDir, cfg.fullTurnAngleDeg)) fullTurnPen10 else 0L
+        if (unmatchedExtra10 == null) base else base + unmatchedExtra10(toDir >> 1)
+      }
     }
 
     val res = Viterbi.solve(g, layers, schedSec, turnPen,
-      vmaxMs = cfg.levelSpeedsKmh.max / 3.6)
+      vmaxMs = cfg.levelSpeedsKmh.max / 3.6,
+      cacheKeySalt = if (lineName == null) 0L else lineName.hashCode.toLong)
 
     // materialize geometry: per hop either the routed polyline or a straight
     // fallback (ShapeBuilder.cpp:988-1028 getGeom straight-line fallback)
@@ -325,9 +362,12 @@ object MatcherKernel {
       append((c.pLat, c.pLon))
     }
     val unroutable = res.hops.count(h => !h.reachable)
+    val hopRows = res.hops.zipWithIndex.map { case (h, i) =>
+      Matcher.HopRow(i, h.edges.map(de => g.edgeIds(de >> 1)), h.reachable)
+    }
     SolvedSeq(seqKey,
       pts.zipWithIndex.map { case ((la, lo), i) => ShapePoint(i, la, lo) }.toArray,
-      anchors,
+      anchors, hopRows,
       res.hops.length, unroutable, res.totalCost10)
   }
 }

@@ -43,7 +43,8 @@ object Viterbi {
     */
   def solve(g: CompactGraph, cands: Array[Array[Cand]], schedSec: Array[Double],
             turnPen10: (Int, Int) => Long,
-            vmaxMs: Double = 85.0 / 3.6): SolveResult = {
+            vmaxMs: Double = 85.0 / 3.6,
+            cacheKeySalt: Long = 0L): SolveResult = {
     val nLayers = cands.length
     require(nLayers >= 1 && schedSec.length == nLayers - 1)
     val Inf = Dijkstra.Inf
@@ -130,7 +131,8 @@ object Viterbi {
                 // the same (source cand, target set, cutoff) repeats across
                 // thousands of trip patterns
                 val key = HopCache.Key(fc.dirEdge,
-                  math.round(fc.progr * 10000).toInt, baseCutoff, tHash)
+                  math.round(fc.progr * 10000).toInt, baseCutoff,
+                  tHash * 1000003L + cacheKeySalt)
                 var hv = HopCache.get(key, targets)
                 if (hv == null) {
                   // iterative deepening: cutoff doubling <= 3 steps (4.9)

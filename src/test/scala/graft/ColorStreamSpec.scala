@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.{SyntheticWorld, WorldTables}
+import graft.osm.{ColorOps, GraphBuilder, OsmConfig}
+import graft.overlay.ImageTransforms
+import graft.router.{CompactGraph, Matcher}
+
+class ColorOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val world = SyntheticWorld.build(rows = 8, cols = 12)
+  lazy val t = WorldTables(spark, world)
+  lazy val cfg = OsmConfig.bus
+  lazy val gt = {
+    val bbox = GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
+    GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
+  }
+
+  test("A6 liveShapes: unused shapes dropped") {
+    val trips = Seq(("t1", "s1"), ("t2", "s1"), ("t3", null)).toDF("trip_id", "shape_id")
+    val shapes = Seq("s1", "s2").toDF("shape_id")
+    val live = ColorOps.liveShapes(trips, shapes).collect().map(_.getString(0))
+    assert(live.toSeq == Seq("s1"))
+  }
+
+  test("A8+A7: matched trips vote their route-relation colour; routes consolidated") {
+    val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions,
+      gt.wayLines, gt.transitLines)
+    val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg)
+    Matcher.matchTripsFull(spark, WorldTables.tripStops(t), cands, graph, cfg)._1.count()
+    val hops = Matcher.matchedHops
+    assert(hops != null && hops.count() > 0)
+    // threshold 0.7: the first/last station jogs (off-line snap edges)
+    // legitimately dilute coverage a little
+    val votes = ColorOps.shapeColorVote(hops, gt.edges, gt.wayLines,
+      gt.transitLines, threshold = 0.7).cache()
+    // trips run along their row way which carries exactly one route
+    // relation colour -> every trip gets a vote
+    assert(votes.count() == t.trips.count())
+    // row 6 relation is #ff0000 (r%3==0), row 2 is #0066cc
+    val colors = votes.withColumn("route",
+      regexp_extract($"trip_id", "T(\\d+)_", 1)).select($"route", $"color").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(colors("6") == 0xff0000 && colors("2") == 0x0066cc)
+
+    val consolidated = ColorOps.consolidateRouteColors(t.trips, votes)
+    // one color per route -> no splits
+    assert(consolidated.filter($"new_route_id".contains("::")).count() == 0)
+    assert(consolidated.filter($"route_id" === "R2").head().getInt(2) == 0x0066cc)
+  }
+
+  test("multimodal transforms: thumbnail + feature vector") {
+    val images = graft.images.ImageFixtures.build(world, cfg.cellRes, noiseTiles = 0)
+      .take(4).toDF()
+    val thumbs = ImageTransforms.thumbnail(images, 16, 16).cache()
+    assert(thumbs.filter($"thumb".isNull).count() == 0)
+    val (px, w, h) = graft.images.ImageCodec.decode(
+      thumbs.head().getAs[Array[Byte]]("thumb"))
+    assert(w == 16 && h == 16 && px.length == 256)
+    val feats = ImageTransforms.features(images).head()
+      .getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == 18 && feats.forall(f => f >= 0 && f <= 1))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("structured streaming: watermarked window agg over the events table") {
+    // file streaming sources need a DIRECTORY: stage the table into one
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val agg = stream
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_windows").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("ev_windows")
+      assert(out.count() > 0)
+      // totals must match the batch answer
+      val streamTotal = out.agg(sum($"n")).head().getLong(0)
+      assert(streamTotal == 1000L)
+    } finally q.stop()
+  }
+}
