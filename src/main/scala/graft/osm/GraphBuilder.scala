@@ -39,6 +39,51 @@ object GraphBuilder {
       when(tagsCol.getItem(r.key) === lit(r.value), lit(lvl)).otherwise(acc)
     }
 
+  /** G8 collapseEdges (OsmBuilder.cpp:1518-1626): contract runs of
+    * consecutive segments of the SAME way passing through degree-2 nodes
+    * into one edge (costs and lengths summed, geometry concatenated).
+    * Shrinks the broadcast graph — shape-point nodes dominate real OSM
+    * ways. Pure Catalyst: degree agg + window chain labeling + groupBy.
+    * Input/output schema: the edgesCost schema + `geom` array. */
+  def contractDeg2Chains(edgesCost: DataFrame): DataFrame = {
+    val spark = edgesCost.sparkSession
+    import spark.implicits._
+    // undirected node degree
+    val deg = edgesCost.select($"from_id".as("node_id"))
+      .unionByName(edgesCost.select($"to_id".as("node_id")))
+      .groupBy($"node_id").agg(count(lit(1)).as("deg"))
+    // a chain may continue through interior node n iff deg(n) == 2
+    val w = Window.partitionBy($"way_id").orderBy($"pos")
+    val withBreak = edgesCost
+      .join(deg.withColumnRenamed("node_id", "from_id")
+        .withColumnRenamed("deg", "from_deg"), Seq("from_id"))
+      .withColumn("prev_to", lag($"to_id", 1).over(w))
+      // break when this segment does not continue the previous one, or the
+      // shared node is an intersection (degree != 2)
+      .withColumn("brk",
+        when($"prev_to".isNull || $"prev_to" =!= $"from_id" ||
+          $"from_deg" =!= 2, 1).otherwise(0))
+      .withColumn("chain", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withBreak
+      .groupBy($"way_id", $"chain")
+      .agg(
+        min($"edge_id").as("edge_id"),
+        min($"pos").as("pos"),
+        first($"from_id").as("from_id"), last($"to_id").as("to_id"),
+        first($"from_lat").as("from_lat"), first($"from_lon").as("from_lon"),
+        last($"to_lat").as("to_lat"), last($"to_lon").as("to_lon"),
+        sum($"len_m").as("len_m"),
+        sum($"cost10").as("cost10"),
+        first($"lvl").as("lvl"), first($"oneway").as("oneway"),
+        // geometry: every segment start + the final end point, in order
+        concat(
+          flatten(collect_list(array(struct($"from_lat".as("lat"), $"from_lon".as("lon"))))),
+          slice(collect_list(struct($"to_lat".as("lat"), $"to_lon".as("lon"))), -1, 1))
+          .as("geom"))
+      .drop("chain")
+  }
+
   case class BBox(latMin: Double, lonMin: Double, latMax: Double, lonMax: Double) {
     def pad(padM: Double): BBox = {
       val dLat = padM / Geo.MPerDeg
@@ -110,10 +155,16 @@ object GraphBuilder {
     val edgesCost = edgesRaw
       .withColumn("cost10", costToIntUdf($"len_m" / speedCol))
 
-    // ---- cells: cover the edge bbox at cfg.cellRes (spatial index column) ----
-    val edges = edgesCost.withColumn("cells",
-      gcellsCover(least($"from_lat", $"to_lat"), least($"from_lon", $"to_lon"),
-        greatest($"from_lat", $"to_lat"), greatest($"from_lon", $"to_lon"), cfg.cellRes))
+    // ---- G8 collapseEdges: contract deg-2 chains within each way ----
+    val contracted = contractDeg2Chains(edgesCost)
+
+    // ---- cells: cover the edge GEOMETRY bbox at cfg.cellRes ----
+    val edges = contracted.withColumn("cells",
+      gcellsCover(
+        expr("array_min(transform(geom, p -> p.lat))"),
+        expr("array_min(transform(geom, p -> p.lon))"),
+        expr("array_max(transform(geom, p -> p.lat))"),
+        expr("array_max(transform(geom, p -> p.lon))"), cfg.cellRes))
 
     // ---- station nodes (F4 station predicate) ----
     val stations = bboxNodes

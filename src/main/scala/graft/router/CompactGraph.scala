@@ -250,8 +250,23 @@ object CompactGraph {
                 restrictions: org.apache.spark.sql.DataFrame,
                 wayLines: org.apache.spark.sql.DataFrame,
                 lines: org.apache.spark.sql.DataFrame): CompactGraph = {
-    val rows = edges.select("edge_id", "way_id", "from_id", "to_id",
-      "from_lat", "from_lon", "to_lat", "to_lon", "cost10", "len_m", "oneway")
+    val hasGeom = edges.columns.contains("geom")
+    val rows = (if (hasGeom)
+      edges.select(org.apache.spark.sql.functions.col("edge_id"),
+        org.apache.spark.sql.functions.col("way_id"),
+        org.apache.spark.sql.functions.col("from_id"),
+        org.apache.spark.sql.functions.col("to_id"),
+        org.apache.spark.sql.functions.col("from_lat"),
+        org.apache.spark.sql.functions.col("from_lon"),
+        org.apache.spark.sql.functions.col("to_lat"),
+        org.apache.spark.sql.functions.col("to_lon"),
+        org.apache.spark.sql.functions.col("cost10"),
+        org.apache.spark.sql.functions.col("len_m"),
+        org.apache.spark.sql.functions.col("oneway"),
+        org.apache.spark.sql.functions.expr("transform(geom, p -> p.lat)").as("glat"),
+        org.apache.spark.sql.functions.expr("transform(geom, p -> p.lon)").as("glon"))
+    else edges.select("edge_id", "way_id", "from_id", "to_id",
+      "from_lat", "from_lon", "to_lat", "to_lon", "cost10", "len_m", "oneway"))
       .collect().sortBy(_.getLong(0))
     val n = rows.length
     val wayToNames: Map[Long, Array[String]] =
@@ -270,8 +285,13 @@ object CompactGraph {
       val r = rows(i)
       ids(i) = r.getLong(0); wy(i) = r.getLong(1)
       ef(i) = r.getLong(2); et(i) = r.getLong(3)
-      gla(i) = Array(r.getDouble(4), r.getDouble(6))
-      glo(i) = Array(r.getDouble(5), r.getDouble(7))
+      if (hasGeom) {
+        gla(i) = r.getSeq[Double](11).toArray
+        glo(i) = r.getSeq[Double](12).toArray
+      } else {
+        gla(i) = Array(r.getDouble(4), r.getDouble(6))
+        glo(i) = Array(r.getDouble(5), r.getDouble(7))
+      }
       c10(i) = r.getLong(8); lm(i) = r.getDouble(9); ow(i) = r.getInt(10)
       eln(i) = wayToNames.getOrElse(wy(i), Array.empty)
       i += 1

@@ -76,15 +76,25 @@ object Matcher {
     val stopRings = stops
       .select($"stop_id", $"lat".as("s_lat"), $"lng".as("s_lng"))
       .withColumn("cell", explode(kring(gcell($"s_lat", $"s_lng", cfg.cellRes), k)))
-    val edgeCells = edges
-      .select($"edge_id", $"from_lat", $"from_lon", $"to_lat", $"to_lon",
-        $"oneway", explode($"cells").as("cell"))
+    // project onto the full edge polyline when present (contracted chains
+    // are curved), else the straight segment
+    val hasGeom = edges.columns.contains("geom")
+    val edgeCells =
+      (if (hasGeom)
+        edges.select($"edge_id", $"oneway",
+          expr("transform(geom, p -> p.lat)").as("glat"),
+          expr("transform(geom, p -> p.lon)").as("glon"),
+          explode($"cells").as("cell"))
+      else
+        edges.select($"edge_id", $"oneway",
+          array($"from_lat", $"to_lat").as("glat"),
+          array($"from_lon", $"to_lon").as("glon"),
+          explode($"cells").as("cell")))
     val projectUdf = udf((sLat: Double, sLng: Double,
-                          aLat: Double, aLon: Double, bLat: Double, bLon: Double) =>
-      Geo.projectOnSegment(sLat, sLng, aLat, aLon, bLat, bLon))
+                          glat: Seq[Double], glon: Seq[Double]) =>
+      Geo.projectOnPolyline(sLat, sLng, glat.zip(glon).map(p => (p._1, p._2)).toArray))
     val joined = stopRings.join(edgeCells, Seq("cell"))
-      .withColumn("proj", projectUdf($"s_lat", $"s_lng",
-        $"from_lat", $"from_lon", $"to_lat", $"to_lon"))
+      .withColumn("proj", projectUdf($"s_lat", $"s_lng", $"glat", $"glon"))
       .select($"stop_id", $"edge_id", $"oneway",
         $"proj._1".as("progr"), $"proj._2".as("py"), $"proj._3".as("px"),
         $"proj._4".as("dist_m"))

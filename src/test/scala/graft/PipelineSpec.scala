@@ -112,3 +112,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(nSeqs <= nTrips)
   }
 }
+
+class ContractionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("G8 collapseEdges: deg-2 shape-point chains merge, intersections split") {
+    // way 1: nodes 1-2-3-4 (2,3 are shape points, deg 2)
+    // way 2: crosses at node 4 (so 4 is an intersection, deg 3)
+    // way 1 continues 4-5
+    val rows = Seq(
+      // edge_id, way_id, pos, from, to, f_lat, f_lon, t_lat, t_lon, len, cost, lvl, ow
+      (100L, 1L, 0, 1L, 2L, 48.00, 7.80, 48.00, 7.81, 100.0, 50L, 3, 0),
+      (101L, 1L, 1, 2L, 3L, 48.00, 7.81, 48.01, 7.81, 100.0, 50L, 3, 0),
+      (102L, 1L, 2, 3L, 4L, 48.01, 7.81, 48.01, 7.82, 100.0, 50L, 3, 0),
+      (103L, 1L, 3, 4L, 5L, 48.01, 7.82, 48.01, 7.83, 100.0, 50L, 3, 0),
+      (200L, 2L, 0, 4L, 6L, 48.01, 7.82, 48.02, 7.82, 100.0, 50L, 3, 0))
+      .toDF("edge_id", "way_id", "pos", "from_id", "to_id",
+        "from_lat", "from_lon", "to_lat", "to_lon", "len_m", "cost10", "lvl", "oneway")
+    val c = graft.osm.GraphBuilder.contractDeg2Chains(rows).cache()
+    assert(c.count() == 3) // (1-2-3-4), (4-5), (4-6)
+    val chain = c.filter($"edge_id" === 100L).head()
+    assert(chain.getAs[Long]("from_id") == 1L && chain.getAs[Long]("to_id") == 4L)
+    assert(chain.getAs[Double]("len_m") == 300.0)
+    assert(chain.getAs[Long]("cost10") == 150L)
+    val geom = chain.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("geom")
+    assert(geom.length == 4) // 1,2,3,4
+    assert(geom.head.getDouble(0) == 48.00 && geom.last.getDouble(1) == 7.82)
+    // the crossing edge survives untouched
+    assert(c.filter($"edge_id" === 200L).count() == 1)
+  }
+}
