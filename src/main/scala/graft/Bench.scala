@@ -99,7 +99,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"match_throughput_trips_per_sec","value":$throughput%.2f,"unit":"rows/sec","total_sec":$total%.2f,"matched_trips":${stats.rows},"tiles":${stats.tiles},"queries":$qs,"sf":"$sfDir"}""")
+    // A9 stats surface (reference stats.json: dijkstra iters, solve counts)
+    val iters = graft.router.Dijkstra.Iters.sum()
+    val solves = graft.router.MatcherKernel.KernelSolves.sum()
+    val hcHits = graft.router.HopCache.Hits.sum()
+    val hcMiss = graft.router.HopCache.Misses.sum()
+    println(f"""{"metric":"match_throughput_trips_per_sec","value":$throughput%.2f,"unit":"rows/sec","total_sec":$total%.2f,"matched_trips":${stats.rows},"tiles":${stats.tiles},"dijkstra_iters":$iters,"kernel_solves":$solves,"hopcache_hits":$hcHits,"hopcache_misses":$hcMiss,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
