@@ -207,10 +207,10 @@ object Matcher {
       .withColumn("t0", $"stops"(0).getField("dep_s"))
       // the cluster key includes the line identity: trips on different
       // lines cost-shape differently (RoutingAttrs clustering, A2)
-      .withColumn("seq_key", sha2(concat(to_json(
+      .withColumn("seq_key", conv(xxhash64(concat(to_json(
         transform($"stops", x => struct(x.getField("stop_id").as("s"),
           (x.getField("arr_s") - $"t0").as("a"),
-          (x.getField("dep_s") - $"t0").as("d")))), $"line_name"), 256))
+          (x.getField("dep_s") - $"t0").as("d")))), $"line_name")), 10, 16))
       .drop("t0")
   }
 
