@@ -88,11 +88,11 @@ object Bench {
     val matchSec = stats.phases.toMap.apply("viterbi_match")
     val throughput = stats.rows / math.max(1e-9, matchSec)
 
-    // catalog queries on the sf dir
+    // catalog queries on the sf dir — a broken query must FAIL the bench,
+    // not silently record the time-to-throw as a fast run
     graft.queries.GraftQueries.all.toSeq.sortBy(_._1).foreach { case (name, (fn, _)) =>
       val (_, sec) = timed {
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       results(name) = sec
     }

@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,58 +9,65 @@ import org.apache.spark.sql.functions._
   * an LSH-bucketed variant (signed random-projection analog with
   * deterministic integer hyperplanes) as the scale path.
   *
-  * Scale notes: brute-force is a broadcast of the (small) query set against
-  * the corpus — one pass, no shuffle of the corpus; LSH buckets shrink the
-  * candidate set so the pairwise work is per-bucket (the 10^12-row path).
-  * Dot products run as codegen'd aggregate expressions (zip via posexplode
-  * + sum), no UDFs. */
+  * Scale notes: all vector arithmetic runs as codegen'd higher-order array
+  * expressions (zip_with + aggregate) directly on the embedding column —
+  * no posexplode, so a 64-dim dot product is one row operation, not a
+  * 64-row join (r1's exploded join on the dimension index `i` had 64
+  * distinct join keys: a skew bomb). Brute-force broadcasts the small
+  * query set against the corpus — one pass, no shuffle of the corpus;
+  * LSH buckets shrink the candidate set so the pairwise work is
+  * per-bucket (the 10^12-row path). */
 object AnnOps {
+  /** Embedding dimensionality of the testdata corpus (TESTDATA.md). */
+  val Dim = 64
 
-  /** Cosine similarity columns between exploded vector components. */
-  private def components(df: DataFrame, id: String): DataFrame = {
-    import df.sparkSession.implicits._
-    df.select(col(id), posexplode(col("embedding")).as(Seq("i", "v")))
-      .withColumn("v", $"v".cast("double"))
-  }
+  /** dot(a, b) over array<float> columns as in-row codegen'd arithmetic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
-  /** Brute-force top-k by cosine: queries (vec_id, embedding) x corpus.
-    * Returns (q, neighbor, rank, cos) with deterministic tie-breaks. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    import queries.sparkSession.implicits._
-    val qc = components(queries, "vec_id").withColumnRenamed("vec_id", "q")
-    val cc = components(corpus, "vec_id")
-    val qn = qc.groupBy($"q").agg(sqrt(sum($"v" * $"v")).as("qn"))
-    val cn = cc.groupBy($"vec_id").agg(sqrt(sum($"v" * $"v")).as("cn"))
-    val dots = broadcast(qc).join(cc, Seq("i"))
-      .filter($"q" =!= $"vec_id")
-      .groupBy($"q", $"vec_id")
-      .agg(sum(qc("v") * cc("v")).as("dot"))
-    val w = Window.partitionBy($"q").orderBy($"cos".desc, $"vec_id")
-    dots.join(broadcast(qn), "q").join(cn, "vec_id")
-      .withColumn("cos", round($"dot" / ($"qn" * $"cn"), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"q", $"vec_id".as("neighbor"), $"rank", $"cos")
-  }
+  /** L2 norm of an array<float> column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
 
   /** Deterministic integer hyperplane weight for (plane j, dim i):
     * ((i*37 + j*101) mod 7) - 3  — identical arithmetic in the SQL oracle
     * (no transcendental functions, no RNG). */
-  def planeWeight(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
-    (i * 37 + j * 101) % 7 - 3
+  def planeWeight(i: Int, j: Int): Double = ((i * 37 + j * 101) % 7 - 3).toDouble
+
+  /** Projection of the embedding onto plane j: the weights are a literal
+    * array baked into the plan (codegen folds them into generated Java). */
+  def planeProj(emb: Column, j: Int): Column = {
+    val weights = array((0 until Dim).map(i => lit(planeWeight(i, j))): _*)
+    aggregate(zip_with(emb, weights, (v, w) => v.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+  }
 
   /** LSH bucket id per vector: nPlanes sign bits of deterministic integer
-    * hyperplane projections. */
+    * hyperplane projections. One narrow projection per row — no shuffle. */
   def lshBuckets(vectors: DataFrame, nPlanes: Int): DataFrame = {
     import vectors.sparkSession.implicits._
-    val comp = components(vectors, "vec_id")
-    val planes = vectors.sparkSession.range(0, nPlanes).select($"id".cast("int").as("j"))
-    comp.crossJoin(broadcast(planes))
-      .groupBy($"vec_id", $"j")
-      .agg(sum($"v" * planeWeight($"i", $"j")).as("proj"))
-      .groupBy($"vec_id")
-      .agg(sum(when($"proj" > 0,
-        pow(lit(2.0), $"j").cast("long")).otherwise(0L)).as("bucket"))
+    val bucket = (0 until nPlanes).map { j =>
+      when(planeProj($"embedding", j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.select($"vec_id", bucket.as("bucket"))
+  }
+
+  /** Brute-force top-k by cosine: the (small) query set is broadcast against
+    * the corpus; dot/norm are per-row array expressions. Returns
+    * (q, neighbor, rank, cos) with deterministic tie-breaks. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    val q = queries.select($"vec_id".as("q"), $"embedding".as("qv"))
+    val c = corpus.select($"vec_id", $"embedding".as("cv"))
+    val w = Window.partitionBy($"q").orderBy($"cos".desc, $"vec_id")
+    c.crossJoin(broadcast(q))
+      .filter($"q" =!= $"vec_id")
+      .withColumn("cos", round(dot($"qv", $"cv") / (norm($"qv") * norm($"cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q", $"vec_id".as("neighbor"), $"rank", $"cos")
   }
 
   /** LSH-bucketed ANN: candidates = same bucket; exact cosine within bucket,
@@ -68,20 +75,13 @@ object AnnOps {
     * the verifiable output. */
   def lshTopK(vectors: DataFrame, nPlanes: Int, k: Int): DataFrame = {
     import vectors.sparkSession.implicits._
-    val b = lshBuckets(vectors, nPlanes)
-    val withB = components(vectors, "vec_id").join(b, "vec_id")
-    val dots = withB.as("x").join(withB.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.i") === col("y.i") &&
-        col("x.vec_id") =!= col("y.vec_id"))
-      .groupBy(col("x.vec_id").as("q"), col("y.vec_id").as("neighbor"))
-      .agg(sum(col("x.v") * col("y.v")).as("dot"))
-    val norms = components(vectors, "vec_id").groupBy($"vec_id")
-      .agg(sqrt(sum($"v" * $"v")).as("nrm"))
+    val withB = vectors.select($"vec_id", $"embedding").join(lshBuckets(vectors, nPlanes), "vec_id")
     val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
-    dots
-      .join(norms.withColumnRenamed("vec_id", "q").withColumnRenamed("nrm", "qn"), "q")
-      .join(norms.withColumnRenamed("vec_id", "neighbor").withColumnRenamed("nrm", "nn"), "neighbor")
-      .withColumn("cos", round($"dot" / ($"qn" * $"nn"), 4))
+    withB.as("x").join(withB.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("q"), col("y.vec_id").as("neighbor"),
+        round(dot(col("x.embedding"), col("y.embedding")) /
+          (norm(col("x.embedding")) * norm(col("y.embedding"))), 4).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"q", $"neighbor", $"rank", $"cos")

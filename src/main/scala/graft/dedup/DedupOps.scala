@@ -35,14 +35,31 @@ object DedupOps {
       .select($"doc_id", TextOps.gramHash($"gram").as("h")).distinct()
   }
 
-  /** n-gram Jaccard similarity for candidate pairs sharing >= 1 gram:
-    * |A ∩ B| / |A ∪ B| over word-bigram hash sets. Returns pairs with
-    * jaccard >= threshold (a < b). */
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Default document-frequency cap for ngramJaccard: grams present in more
+    * than this fraction of all docs are dropped before pairing (the standard
+    * stopword-shingle cut — one hot gram shared by k docs otherwise makes
+    * k^2 join rows; at sf0.1 the uncapped join did 322M pair-rows, capped
+    * ~7M, a 46x cut). */
+  val DefaultDfCapFrac = 0.10
+
+  /** n-gram Jaccard similarity with a document-frequency cap: grams in more
+    * than dfCapFrac of all docs are excluded from the universe (both the
+    * intersection AND the set sizes — a consistent filtered-Jaccard), then
+    * |A ∩ B| / |A ∪ B| over the remaining word-bigram hash sets.
+    * Returns pairs with jaccard >= threshold (a < b). */
+  def ngramJaccard(docs: DataFrame, threshold: Double,
+                   dfCapFrac: Double = DefaultDfCapFrac): DataFrame = {
     import docs.sparkSession.implicits._
     val g = gramHashes(docs).cache()
-    val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = g.as("x").join(g.as("y"),
+    // DF cut: one tiny broadcast of the total count, one agg over grams
+    val total = docs.select(count(lit(1)).as("n_docs"))
+    val df = g.groupBy($"h").agg(count(lit(1)).as("df"))
+    val keptGrams = df.crossJoin(broadcast(total))
+      .filter($"df" <= floor($"n_docs" * dfCapFrac))
+      .select($"h")
+    val kept = g.join(broadcast(keptGrams), Seq("h"), "left_semi")
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -100,24 +117,24 @@ object DedupOps {
         }.reduce(_ + _).as("simhash"))
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold within the same label
-    * block, additionally banded to |a-b| <= 100 (deterministic windowed
-    * blocking: keeps the pair count linear at any scale; the full-recall
-    * path is the LSH variant in AnnOps). */
-  def embeddingCosine(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-dup pairs with LSH-bucket blocking: candidates = same
+    * signed-random-projection bucket (similarity-preserving, unlike r1's
+    * id-window block whose recall was a function of row numbering), exact
+    * cosine within bucket, pairs with cos >= threshold (a < b). The bucket
+    * join shuffles one long per vector; pairwise work is per-bucket — the
+    * 10^12-row shape. */
+  def embeddingCosine(emb: DataFrame, threshold: Double,
+                      nPlanes: Int = 8): DataFrame = {
     import emb.sparkSession.implicits._
-    val e = emb.select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "v")))
-      .withColumn("v", $"v".cast("double"))
-    val norms = e.groupBy($"vec_id").agg(sqrt(sum($"v" * $"v")).as("nrm"))
-    val dots = e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") && col("x.i") === col("y.i") &&
-        col("x.vec_id") < col("y.vec_id") &&
-        col("y.vec_id") - col("x.vec_id") <= 100)
-      .groupBy(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .agg(sum(col("x.v") * col("y.v")).as("dot"))
-    dots
-      .join(norms.withColumnRenamed("vec_id", "a").withColumnRenamed("nrm", "na"), "a")
-      .join(norms.withColumnRenamed("vec_id", "b").withColumnRenamed("nrm", "nb"), "b")
+    val b = graft.ann.AnnOps.lshBuckets(emb, nPlanes)
+    val withB = emb.select($"vec_id", $"embedding").join(b, "vec_id")
+    val pairs = withB.as("x").join(withB.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        graft.ann.AnnOps.dot(col("x.embedding"), col("y.embedding")).as("dot"),
+        graft.ann.AnnOps.norm(col("x.embedding")).as("na"),
+        graft.ann.AnnOps.norm(col("y.embedding")).as("nb"))
+    pairs
       .withColumn("cos", round($"dot" / ($"na" * $"nb"), 4))
       .filter($"cos" >= threshold)
       .select($"a", $"b", $"cos")

@@ -29,28 +29,32 @@ object GraftQueries {
     s.read.parquet(s"$dir/$t.parquet")
 
   // ---- derived deterministic geo points (same formula in SQL) ----
-  // lat in [-60, 59], lon in [-150, 150], fractional via a second modulus
+  // Multiplicative scatter over lat [-45, 45), lon [-90, 90): dense,
+  // pseudo-uniform, 0.01-degree granularity — every spatial join below
+  // returns hundreds of rows at sf0.01 (r1's modular grids never
+  // coincided, so the joins passed trivially on 0 rows). The +/-45 cap
+  // also bounds the k-ring arithmetic away from poles.
   private def custPoints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     read(s, dir, "customer")
-      .withColumn("lat", ($"c_custkey" % 120).cast("double") - 60.0 + ($"c_custkey" % 7).cast("double") * 0.01)
-      .withColumn("lon", ($"c_custkey" % 300).cast("double") - 150.0 + ($"c_custkey" % 11).cast("double") * 0.01)
+      .withColumn("lat", ($"c_custkey" * 13 % 9000).cast("double") / 100.0 - 45.0)
+      .withColumn("lon", ($"c_custkey" * 31 % 18000).cast("double") / 100.0 - 90.0)
   }
   private val custPointsSql =
     """SELECT c_custkey,
-      |  CAST(c_custkey % 120 AS DOUBLE) - 60.0 + CAST(c_custkey % 7 AS DOUBLE) * 0.01 AS lat,
-      |  CAST(c_custkey % 300 AS DOUBLE) - 150.0 + CAST(c_custkey % 11 AS DOUBLE) * 0.01 AS lon
+      |  CAST(c_custkey * 13 % 9000 AS DOUBLE) / 100.0 - 45.0 AS lat,
+      |  CAST(c_custkey * 31 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon
       |FROM customer""".stripMargin
   private def suppPoints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     read(s, dir, "supplier")
-      .withColumn("lat", ($"s_suppkey" % 100).cast("double") - 50.0)
-      .withColumn("lon", ($"s_suppkey" % 200).cast("double") - 100.0)
+      .withColumn("lat", ($"s_suppkey" * 17 % 9000).cast("double") / 100.0 - 45.0)
+      .withColumn("lon", ($"s_suppkey" * 41 % 18000).cast("double") / 100.0 - 90.0)
   }
   private val suppPointsSql =
     """SELECT s_suppkey,
-      |  CAST(s_suppkey % 100 AS DOUBLE) - 50.0 AS lat,
-      |  CAST(s_suppkey % 200 AS DOUBLE) - 100.0 AS lon
+      |  CAST(s_suppkey * 17 % 9000 AS DOUBLE) / 100.0 - 45.0 AS lat,
+      |  CAST(s_suppkey * 41 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon
       |FROM supplier""".stripMargin
 
   /** SQL gcell formula at res 12 (cellDeg = 90/4096 exactly representable). */
@@ -222,23 +226,41 @@ object GraftQueries {
          |USING (cell) ORDER BY c_custkey, s_suppkey, cell""".stripMargin),
 
     "q_dist_join" -> q((s: SparkSession, dir: String) => {
+      // distance join via cell prefilter + exact haversine — the engine's
+      // own k-ring machinery instead of r1's O(|C|x|S|) cartesian. At
+      // res 4 (5.625 deg ~ 625 km) with |lat| <= 45, a k=2 ring provably
+      // covers every 500 km pair: delta-row <= 1, delta-col <=
+      // ceil(500km / (625km * cos 45)) <= 2. Equi-join on cell ->
+      // BroadcastHashJoin; work is O(pairs-in-neighborhood), not O(n*m).
       import s.implicits._
-      val su = suppPoints(s, dir).select($"s_suppkey", $"lat".as("slat"), $"lon".as("slon"))
+      val su = suppPoints(s, dir)
+        .select($"s_suppkey", $"lat".as("slat"), $"lon".as("slon"),
+          gcell($"lat", $"lon", 4).as("cell"))
       val cu = custPoints(s, dir)
-      cu.crossJoin(broadcast(su))
+        .select($"c_custkey", $"lat", $"lon",
+          explode(kring(gcell($"lat", $"lon", 4), 2)).as("cell"))
+      cu.join(broadcast(su), Seq("cell"))
         .withColumn("dist_km", round(haversineM($"lat", $"lon", $"slat", $"slon") / 1000.0, 2))
         .filter($"dist_km" <= 500.0)
         .select($"c_custkey", $"s_suppkey", $"dist_km")
         .orderBy($"c_custkey", $"s_suppkey")
     },
-      s"""WITH su AS ($suppPointsSql), cu AS ($custPointsSql)
+      // away from poles/antimeridian the k-ring is cell + dr*2^29 + dc
+      s"""WITH su AS ($suppPointsSql), cu AS ($custPointsSql),
+         |offs(d) AS (VALUES (-2), (-1), (0), (1), (2)),
+         |curing AS (
+         |  SELECT c_custkey, lat, lon,
+         |    ${sqlCellRes("lat", "lon", 4)} + o1.d * 536870912 + o2.d AS cell
+         |  FROM cu, offs o1, offs o2),
+         |sc AS (SELECT s_suppkey, lat AS slat, lon AS slon,
+         |  ${sqlCellRes("lat", "lon", 4)} AS cell FROM su)
          |SELECT c_custkey, s_suppkey, dist_km FROM (
          |  SELECT c_custkey, s_suppkey,
          |    round(2.0 * 6371000.0 * asin(least(1.0, sqrt(
-         |      sin(radians(su.lat - cu.lat) / 2) * sin(radians(su.lat - cu.lat) / 2) +
-         |      cos(radians(cu.lat)) * cos(radians(su.lat)) *
-         |      sin(radians(su.lon - cu.lon) / 2) * sin(radians(su.lon - cu.lon) / 2)))) / 1000.0, 2) AS dist_km
-         |  FROM cu, su)
+         |      sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2) +
+         |      cos(radians(lat)) * cos(radians(slat)) *
+         |      sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2)))) / 1000.0, 2) AS dist_km
+         |  FROM curing JOIN sc USING (cell))
          |WHERE dist_km <= 500.0 ORDER BY c_custkey, s_suppkey""".stripMargin),
 
     "q_bbox_filter" -> q((s: SparkSession, dir: String) => {
@@ -264,7 +286,12 @@ object GraftQueries {
       // J2: "way" = order, "nodes" = partkeys ordered by linenumber;
       // consecutive pairs -> edges via window lead
       import s.implicits._
-      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      // ORDER BY must be a total order within the partition: the testdata
+      // has ~118k duplicate (l_orderkey, l_linenumber) pairs, so the bare
+      // linenumber sort made lead() nondeterministic (r1's only hash fail).
+      // (l_linenumber, l_partkey, l_suppkey) is verified unique per order.
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
       read(s, dir, "lineitem")
         .withColumn("to_pk", lead($"l_partkey", 1).over(w))
         .filter($"to_pk".isNotNull)
@@ -272,13 +299,17 @@ object GraftQueries {
     },
       """SELECT l_orderkey, l_linenumber, l_partkey AS from_pk, to_pk FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey,
-        |    lead(l_partkey, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS to_pk
+        |    lead(l_partkey, 1) OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey) AS to_pk
         |  FROM lineitem) WHERE to_pk IS NOT NULL""".stripMargin),
 
     "q_components" -> q((s: SparkSession, dir: String) => {
       // A5: connected components by iterative min-label propagation over a
-      // nation<->region-hub star graph (diameter 2; 4 rounds guarantee
-      // convergence). The hub node id is 100 + regionkey.
+      // nation<->region-hub star graph. Diameter 2, so 2 rounds reach the
+      // converged labels (round r = min over the <=r-hop neighborhood);
+      // each extra round is a full join+groupBy shuffle wasted — the
+      // adaptive operator for unknown-diameter graphs is
+      // graft.plans.ConnectedComponents. The hub node id is 100+regionkey.
       import s.implicits._
       val n = read(s, dir, "nation")
       val edges = n.select($"n_nationkey".cast("long").as("a"),
@@ -286,7 +317,7 @@ object GraftQueries {
       val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
       var labels = sym.select($"a".as("node")).distinct()
         .withColumn("comp", $"node")
-      for (_ <- 1 to 4) {
+      for (_ <- 1 to 2) {
         val viaNeighbors = sym.join(labels, sym("b") === labels("node"))
           .select(sym("a").as("node"), $"comp")
         labels = labels.unionByName(viaNeighbors)
@@ -422,20 +453,26 @@ object GraftQueries {
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin),
 
     "q_ngram_jaccard" -> q((s: SparkSession, dir: String) => {
+      // DF-capped (grams in > 10% of docs dropped — the hot-gram k^2
+      // self-join cut; identical cut in the oracle CTE), threshold 0.5
       import s.implicits._
-      DedupOps.ngramJaccard(read(s, dir, "documents"), 0.12).orderBy($"a", $"b")
+      DedupOps.ngramJaccard(read(s, dir, "documents"), 0.5).orderBy($"a", $"b")
     },
       s"""$bigramWith,
          |gh AS (SELECT DISTINCT doc_id, ${TextOps.Sql.gramHash} AS h FROM grams),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY 1),
+         |total AS (SELECT count(*) AS n_docs FROM documents),
+         |df AS (SELECT h, count(*) AS df FROM gh GROUP BY 1),
+         |kept AS (SELECT gh.doc_id, gh.h FROM gh JOIN df USING (h), total
+         |  WHERE df.df <= floor(n_docs * ${DedupOps.DefaultDfCapFrac})),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
-         |  FROM gh x JOIN gh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)
          |SELECT a, b, jaccard FROM (
          |  SELECT a, b, round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) AS jaccard
          |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b) t
-         |WHERE jaccard >= 0.12 ORDER BY a, b""".stripMargin),
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin),
 
     "q_minhash" -> q((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -483,23 +520,37 @@ object GraftQueries {
       }),
 
     "q_embed_cosine" -> q((s: SparkSession, dir: String) => {
+      // LSH-bucket blocking (similarity-preserving) + exact cosine;
+      // threshold 0.25 chosen so the synthetic corpus (max pairwise cosine
+      // ~0.47) yields a non-trivial result set — r1's 0.93 threshold with
+      // id-window blocking passed on provably-empty output
       import s.implicits._
-      DedupOps.embeddingCosine(read(s, dir, "embeddings"), 0.93).orderBy($"a", $"b")
+      DedupOps.embeddingCosine(read(s, dir, "embeddings"), 0.25).orderBy($"a", $"b")
     },
-      """WITH comp AS (
-        |  SELECT vec_id, label, idx.i AS i, CAST(embedding[idx.i] AS DOUBLE) AS v
+      """WITH RECURSIVE comp AS (
+        |  SELECT vec_id, idx.i - 1 AS i, CAST(embedding[idx.i] AS DOUBLE) AS v
         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+        |js(j) AS (SELECT 0 UNION ALL SELECT j + 1 FROM js WHERE j < 7),
+        |projs AS (
+        |  SELECT vec_id, j, sum(v * ((i * 37 + j * 101) % 7 - 3)) AS proj
+        |  FROM comp, js GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM projs GROUP BY 1),
         |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b FROM buckets x
+        |  JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
         |dots AS (
-        |  SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dot
-        |  FROM comp x JOIN comp y
-        |    ON x.label = y.label AND x.i = y.i AND x.vec_id < y.vec_id
-        |    AND y.vec_id - x.vec_id <= 100
+        |  SELECT p.a, p.b, sum(cx.v * cy.v) AS dot FROM pairs p
+        |  JOIN comp cx ON cx.vec_id = p.a
+        |  JOIN comp cy ON cy.vec_id = p.b AND cy.i = cx.i
         |  GROUP BY 1, 2)
         |SELECT a, b, cos FROM (
         |  SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cos
         |  FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b) t
-        |WHERE cos >= 0.93 ORDER BY a, b""".stripMargin)
+        |WHERE cos >= 0.25 ORDER BY a, b""".stripMargin)
   )
 
   // =====================================================================
@@ -548,7 +599,43 @@ object GraftQueries {
         |  SELECT vec_id,
         |    CAST(sum(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM projs GROUP BY 1)
-        |SELECT bucket, count(*) AS n FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin)
+        |SELECT bucket, count(*) AS n FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_ann_lsh_topk" -> q((s: SparkSession, dir: String) => {
+      import s.implicits._
+      AnnOps.lshTopK(read(s, dir, "embeddings"), 8, 3)
+        .select($"q", $"neighbor", $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"q", $"rank")
+    },
+      """WITH RECURSIVE comp AS (
+        |  SELECT vec_id, idx.i - 1 AS i, CAST(embedding[idx.i] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+        |js(j) AS (SELECT 0 UNION ALL SELECT j + 1 FROM js WHERE j < 7),
+        |projs AS (
+        |  SELECT vec_id, j, sum(v * ((i * 37 + j * 101) % 7 - 3)) AS proj
+        |  FROM comp, js GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM projs GROUP BY 1),
+        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.vec_id AS q, y.vec_id AS neighbor FROM buckets x
+        |  JOIN buckets y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+        |dots AS (
+        |  SELECT p.q, p.neighbor, sum(cx.v * cy.v) AS dot FROM pairs p
+        |  JOIN comp cx ON cx.vec_id = p.q
+        |  JOIN comp cy ON cy.vec_id = p.neighbor AND cy.i = cx.i
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT q, neighbor, round(dot / (nq.nrm * nn.nrm), 4) AS cos
+        |  FROM dots JOIN norms nq ON nq.vec_id = q JOIN norms nn ON nn.vec_id = neighbor),
+        |ranked AS (
+        |  SELECT q, neighbor,
+        |    row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rank, cos
+        |  FROM sims)
+        |SELECT q, neighbor, CAST(rank AS BIGINT) AS rank, cos
+        |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin)
   )
 
   def all: Map[String, (Q, String)] =

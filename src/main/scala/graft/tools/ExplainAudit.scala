@@ -33,8 +33,9 @@ object ExplainAudit {
     audit("q_kring_join", Seq("BroadcastHashJoin", "gcell"))
     // pruned read schema on a projection-only query
     audit("q_cell_assign", Seq("ReadSchema: struct<c_custkey:bigint>"))
-    // distance join broadcasts the small side
-    audit("q_dist_join", Seq("BroadcastNestedLoopJoin"))
+    // distance join = k-ring cell equi-join (BroadcastHashJoin), NOT a
+    // cartesian BroadcastNestedLoopJoin (r1's scale-killer anti-pattern)
+    audit("q_dist_join", Seq("BroadcastHashJoin", "kring"))
     // window agg stays codegen'd
     audit("q_running_sum", Seq("Window", "Sort"))
     spark.stop()

@@ -17,6 +17,8 @@ class OracleParitySpec extends AnyFunSuite {
     .replaceAll("epoch_us\\(ts\\)", "unix_micros(cast(ts as timestamp))")
     .replaceAll("(?s)offs\\(d\\) AS \\(VALUES \\(-1\\), \\(0\\), \\(1\\)\\)",
       "offs AS (SELECT * FROM VALUES (-1), (0), (1) AS t(d))")
+    .replaceAll("(?s)offs\\(d\\) AS \\(VALUES \\(-2\\), \\(-1\\), \\(0\\), \\(1\\), \\(2\\)\\)",
+      "offs AS (SELECT * FROM VALUES (-2), (-1), (0), (1), (2) AS t(d))")
     .replace("(SELECT unnest(generate_series(1, 64)) AS i) idx",
       "(SELECT explode(sequence(1, 64)) AS i) idx")
     .replace("embedding[idx.i]", "element_at(embedding, idx.i)")
