@@ -65,21 +65,28 @@ object GraphBuilder {
           $"from_deg" =!= 2, 1).otherwise(0))
       .withColumn("chain", sum($"brk").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // order-explicit aggregation: Spark does not guarantee intra-group row
+    // order through groupBy (first/last/collect_list only looked ordered
+    // because partial aggregation happened to run on the window's sorted
+    // partitions) — endpoints via min_by/max_by(pos), geometry via
+    // sort_array on (pos,...) structs
     withBreak
       .groupBy($"way_id", $"chain")
       .agg(
         min($"edge_id").as("edge_id"),
         min($"pos").as("pos"),
-        first($"from_id").as("from_id"), last($"to_id").as("to_id"),
-        first($"from_lat").as("from_lat"), first($"from_lon").as("from_lon"),
-        last($"to_lat").as("to_lat"), last($"to_lon").as("to_lon"),
+        min_by($"from_id", $"pos").as("from_id"), max_by($"to_id", $"pos").as("to_id"),
+        min_by($"from_lat", $"pos").as("from_lat"), min_by($"from_lon", $"pos").as("from_lon"),
+        max_by($"to_lat", $"pos").as("to_lat"), max_by($"to_lon", $"pos").as("to_lon"),
         sum($"len_m").as("len_m"),
         sum($"cost10").as("cost10"),
-        first($"lvl").as("lvl"), first($"oneway").as("oneway"),
-        // geometry: every segment start + the final end point, in order
+        min_by($"lvl", $"pos").as("lvl"), min_by($"oneway", $"pos").as("oneway"),
+        // geometry: every segment start (in pos order) + the final end point
         concat(
-          flatten(collect_list(array(struct($"from_lat".as("lat"), $"from_lon".as("lon"))))),
-          slice(collect_list(struct($"to_lat".as("lat"), $"to_lon".as("lon"))), -1, 1))
+          transform(
+            sort_array(collect_list(struct($"pos", $"from_lat".as("lat"), $"from_lon".as("lon")))),
+            x => struct(x.getField("lat").as("lat"), x.getField("lon").as("lon"))),
+          array(struct(max_by($"to_lat", $"pos").as("lat"), max_by($"to_lon", $"pos").as("lon"))))
           .as("geom"))
       .drop("chain")
   }

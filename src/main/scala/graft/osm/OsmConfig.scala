@@ -36,12 +36,30 @@ case class OsmConfig(
     distPenFactor: Double = 1.0,
     /** non-station-candidate penalty seconds */
     nonStationPenaltySec: Double = 10.0,
-    /** transition cost factor: expected = schedule seconds; pen per
-      * surplus second (ExpoTransWeight analog) */
-    transitionPenalty: Double = 0.1,
+    /** transition-weight scale: hop cost enters the Viterbi DAG as
+      * transitionPenalty * cost (ExpoTransWeight, Weights.cpp:175-181);
+      * 1.0 = raw deciseconds */
+    transitionPenalty: Double = 1.0,
+    /** transition-weight model: "expo" | "normdistr" | "distdiff"
+      * (routing_transition_method, Weights.h:25-156) */
+    transWeightModel: String = "expo",
     /** extra cost share on edges whose transit lines do NOT match the
       * trip's line (G2 line-unmatched factors, Weights.cpp:65-155) */
-    lineUnmatchedPenaltyFactor: Double = 0.5)
+    lineUnmatchedPenaltyFactor: Double = 0.5) {
+
+  /** 64-bit FNV-1a over the routing-relevant fields — folded into hop-memo
+    * keys so the same graph under a changed config never reuses
+    * wrongly-shaped cached costs. */
+  lazy val fingerprint: Long = {
+    val s = Seq(maxSnapDistanceM, cellRes, fullTurnPenaltySec, fullTurnAngleDeg,
+      distPenFactor, nonStationPenaltySec, transitionPenalty, transWeightModel,
+      lineUnmatchedPenaltyFactor, levelSpeedsKmh.mkString(",")).mkString("|")
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    h
+  }
+}
 
 object OsmConfig {
   /** Bus-profile defaults (our own vocabulary, reference-like shape). */

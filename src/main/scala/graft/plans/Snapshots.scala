@@ -69,8 +69,16 @@ object Snapshots {
     snap
   }
 
-  /** Stage fingerprint helper: stable hash of config + upstream ids. */
-  def fingerprint(parts: String*): String =
-    java.lang.Long.toHexString(parts.foldLeft(1125899906842597L)((h, p) =>
-      31 * h + p.hashCode))
+  /** Stage fingerprint helper: 128-bit MD5 of the length-delimited parts.
+    * (A 32-bit String.hashCode fold collides easily; a collision would make
+    * stage() silently serve a stale snapshot whose inputs changed.) */
+  def fingerprint(parts: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { p =>
+      val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
 }

@@ -27,19 +27,27 @@ class CompactGraph(
     restrictionsIn: Array[(Long, Long, Long, Boolean)] // (via, fromWay, toWay, positive)
 ) extends Serializable {
 
+  /** process-unique instance token (serialized with the broadcast copy) —
+    * scopes HopCache entries to this graph so two graphs in one JVM never
+    * cross-serve memoized costs over coinciding dense indices. */
+  val token: Long = CompactGraph.TokenCounter.incrementAndGet()
+
   val numEdges: Int = edgeFrom.length
 
-  /** external edge id -> dense index */
-  val edgeIndex: java.util.HashMap[Long, Int] = {
-    val m = new java.util.HashMap[Long, Int](numEdges * 2)
+  /** external edge id -> dense index. Boxed value type: with a primitive
+    * Int value Scala silently unboxes a missing-key null to 0, so "is the
+    * id known" checks compile to always-false (a missing edge id would
+    * alias dense index 0). */
+  val edgeIndex: java.util.HashMap[Long, java.lang.Integer] = {
+    val m = new java.util.HashMap[Long, java.lang.Integer](numEdges * 2)
     var i = 0
     while (i < numEdges) { m.put(edgeIds(i), i); i += 1 }
     m
   }
 
-  /** node id -> dense node index */
-  val nodeIndex: java.util.HashMap[Long, Int] = {
-    val m = new java.util.HashMap[Long, Int]()
+  /** node id -> dense node index (boxed value: see edgeIndex) */
+  val nodeIndex: java.util.HashMap[Long, java.lang.Integer] = {
+    val m = new java.util.HashMap[Long, java.lang.Integer]()
     var i = 0
     while (i < numEdges) {
       if (!m.containsKey(edgeFrom(i))) m.put(edgeFrom(i), m.size)
@@ -144,8 +152,8 @@ class CompactGraph(
   /** max speed (m/s) per component label — the reference's per-component
     * Component{maxSpeed} (NodePL.h:23-25), used to sharpen the A* heuristic
     * (a global vmax over-estimates and quadratically widens the search). */
-  val compMaxSpeedMs: java.util.HashMap[Int, Double] = {
-    val m = new java.util.HashMap[Int, Double]()
+  val compMaxSpeedMs: java.util.HashMap[Int, java.lang.Double] = {
+    val m = new java.util.HashMap[Int, java.lang.Double]()
     var i = 0
     while (i < numEdges) {
       if (cost10(i) > 0) {
@@ -214,6 +222,8 @@ class CompactGraph(
 }
 
 object CompactGraph {
+  private[router] val TokenCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Convenience builder from simple tuples (tests): (from, to, costSec,
     * oneway, wayId). Geometry = straight line between supplied coords.
     * Edge id = index. */

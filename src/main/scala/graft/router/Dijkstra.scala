@@ -46,14 +46,19 @@ object Dijkstra {
     // primitive long heap: a java.util.PriorityQueue[Long] boxes every
     // entry; tens of millions of boxed longs saturated GC at 32 threads
     @inline def h(de: Int): Long = if (heur10 == null) 0L else heur10(de)
-    @inline def pack(c: Long, de: Int): Long =
-      (math.min(c, Int.MaxValue.toLong) << 32) | de.toLong
+    // entries with f >= Int.MaxValue are never enqueued (offer returns
+    // false below): the pack clamp would otherwise desync the queued f
+    // from the workspace cost and the entry would be skipped forever —
+    // semantically such a cost exceeds any real cutoff anyway
+    @inline def pack(c: Long, de: Int): Long = (c << 32) | de.toLong
+    @inline def offer(f: Long, de: Int): Unit =
+      if (f < Int.MaxValue.toLong) pq.add(pack(f, de))
     @inline def unpackCost(p: Long): Long = p >>> 32
     @inline def unpackDe(p: Long): Int = (p & 0xffffffffL).toInt
 
     val start = initCost10 + g.dirCost10(sourceDir)
     ws.setCost(sourceDir, start, -1)
-    pq.add(pack(start + h(sourceDir), sourceDir))
+    offer(start + h(sourceDir), sourceDir)
 
     var iters = 0L
     var exceeded = false
@@ -79,7 +84,7 @@ object Dijkstra {
                 val old = ws.costOf(nx)
                 if (nc < old || (nc == old && de < ws.predOf(nx))) {
                   ws.setCost(nx, nc, de)
-                  pq.add(pack(nc + h(nx), nx))
+                  offer(nc + h(nx), nx)
                 }
               }
             }

@@ -13,7 +13,25 @@ import java.util.concurrent.ConcurrentHashMap
   *
   * Bounded: inserts stop at MaxEntries (no eviction — deterministic). */
 object HopCache {
-  final case class Key(fromDir: Int, progrQ: Int, cutoff10: Long, tHash: Long)
+  /** ctx identifies the (graph instance, routing config, line identity)
+    * the entry was computed under — without it, two CompactGraphs in one
+    * JVM (warm-up world + measurement world; bus + rail MOTs) share dense
+    * edge indices and get() could return costs from the wrong graph. */
+  final case class Key(ctx: Long, fromDir: Int, progrQ: Int, cutoff10: Long, tHash: Long)
+
+  /** 64-bit mix of graph token, config fingerprint and line name (FNV-1a
+    * over the name avoids 32-bit String.hashCode collisions). */
+  def mixCtx(graphToken: Long, cfgFp: Long, lineName: String): Long = {
+    var h = graphToken * 0x9e3779b97f4a7c15L ^ cfgFp
+    if (lineName != null) {
+      var i = 0
+      while (i < lineName.length) {
+        h = (h ^ lineName.charAt(i)) * 0x100000001b3L
+        i += 1
+      }
+    }
+    h
+  }
   /** targets aligned with costs/paths; cost = Dijkstra.Inf if unreached */
   final case class Val(targets: Array[Int], costs: Array[Long], paths: Array[Array[Int]])
 

@@ -216,6 +216,9 @@ object Matcher {
 
   case class ShapePoint(seq: Int, lat: Double, lng: Double)
   case class HopRow(hop_idx: Int, edge_ids: Array[Long], reachable: Boolean)
+  /** one snap candidate row as shipped to the kernel (encoder-compatible) */
+  case class CandRow(stop_id: String, edge_id: Long, progr: Double,
+                     pen10: Long, py: Double, px: Double, oneway: Int)
   /** anchors: index into points of each stop's snap position (used to write
     * per-stop shape_dist_traveled, the eval's cut anchors). */
   case class SolvedSeq(seq_key: String, points: Array[ShapePoint],
@@ -234,23 +237,38 @@ object Matcher {
                      graph: CompactGraph, cfg: OsmConfig): DataFrame = {
     import spark.implicits._
     val bcGraph = spark.sparkContext.broadcast(graph)
-    // stop dimension (bounded: every stop of the feed, ~10 cands each)
-    val candArr = cands.select($"stop_id", $"edge_id", $"progr", $"pen10",
-        $"py", $"px", $"oneway").collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5), r.getInt(6))))
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    val bcCands = spark.sparkContext.broadcast(candArr)
     val cfgB = spark.sparkContext.broadcast(cfg)
 
     val distinctSeqs = keyed.dropDuplicates("seq_key")
       .select($"seq_key", $"line_name", $"stops")
-      .as[(String, String, Seq[Matcher.TS])]
 
-    distinctSeqs.map { case (seqKey, lineName, stopsSorted) =>
-      MatcherKernel.solveOne(seqKey, lineName, stopsSorted.toArray, bcGraph.value,
-        bcCands.value, cfgB.value)
-    }.toDF()
+    // distribute candidates by JOIN, not by driver collect (r1 pulled the
+    // whole cands table through the driver — stops x 8 is bounded for one
+    // feed but is the classic scale-killer at a continental one). Each
+    // sequence gets exactly its own stops' candidates; the per-group
+    // payload is bounded by stops-per-trip x top-K.
+    val seqStops = distinctSeqs
+      .select($"seq_key", explode(expr("transform(stops, s -> s.stop_id)")).as("stop_id"))
+      .distinct()
+    val seqCands = seqStops
+      .join(cands.select($"stop_id", $"edge_id", $"progr", $"pen10",
+        $"py", $"px", $"oneway"), Seq("stop_id"))
+      .groupBy($"seq_key")
+      .agg(collect_list(struct($"stop_id", $"edge_id", $"progr", $"pen10",
+        $"py", $"px", $"oneway")).as("cands"))
+
+    // left join: a sequence whose stops ALL lack candidates must still be
+    // solved (null-candidate fallback), not silently dropped
+    distinctSeqs.join(seqCands, Seq("seq_key"), "left_outer")
+      .as[(String, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]
+      .map { case (seqKey, lineName, stopsSorted, candRows) =>
+        val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
+          candRows.getOrElse(Nil).groupBy(_.stop_id).map { case (k, v) =>
+            k -> v.map(c => (c.edge_id, c.progr, c.pen10, c.py, c.px, c.oneway)).toArray
+          }
+        MatcherKernel.solveOne(seqKey, lineName, stopsSorted.toArray, bcGraph.value,
+          candMap, cfgB.value)
+      }.toDF()
   }
 }
 
@@ -305,6 +323,12 @@ object MatcherKernel {
     val schedSec = (0 until stops.length - 1).map { i =>
       math.max(1, stops(i + 1).arr_s - stops(i).dep_s).toDouble
     }.toArray
+    // straight-line stop-to-stop meters (getTransDists,
+    // ShapeBuilder.cpp:760-775): floors the hop cutoff at dist/vmax and
+    // feeds the distdiff transition model
+    val hopDistM = (0 until stops.length - 1).map { i =>
+      Geo.haversineM(stops(i).lat, stops(i).lng, stops(i + 1).lat, stops(i + 1).lng)
+    }.toArray
 
     val fullTurnPen10 = Geo.costToInt(cfg.fullTurnPenaltySec)
     val hasRestr = g.hasRestrictions
@@ -332,7 +356,14 @@ object MatcherKernel {
 
     val res = Viterbi.solve(g, layers, schedSec, turnPen,
       vmaxMs = cfg.levelSpeedsKmh.max / 3.6,
-      cacheKeySalt = if (lineName == null) 0L else lineName.hashCode.toLong)
+      hopDistM = hopDistM,
+      transitionPenalty = cfg.transitionPenalty,
+      transModel = cfg.transWeightModel,
+      // the reference widens maxCost by its line-punish factors
+      // (Weights.cpp:192-195); our surcharge inflates matched-line paths
+      // by at most lineUnmatchedPenaltyFactor
+      cutoffFactor = if (shapeLines) 1.0 + cfg.lineUnmatchedPenaltyFactor else 1.0,
+      cacheCtx = HopCache.mixCtx(g.token, cfg.fingerprint, lineName))
 
     // materialize geometry: per hop either the routed polyline or a straight
     // fallback (ShapeBuilder.cpp:988-1028 getGeom straight-line fallback)

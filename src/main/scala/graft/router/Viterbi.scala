@@ -19,36 +19,73 @@ final case class SolveResult(bestCands: Array[Int], hops: Array[HopPath], totalC
 /** Layered Viterbi DAG solve over stop layers — the reference's Router
   * (/root/reference/src/pfaedle/router/Router.tpp:23-280): for each adjacent
   * stop layer compute an n x m hop-cost matrix via 1->N edge Dijkstra
-  * (Router.tpp:284-430 "hops"), relax cost[to] = min(cost[fr] + pen[to] +
-  * transitionWeight), backtrace, re-materialize edge lists. Includes the
-  * cost-cutoff doubling retry (<= 3 steps, Router.h:35) and the
-  * null-candidate fallback ladder (Router.tpp:150-180).
+  * (Router.tpp:284-430 "hops"), apply the transition-weight model, relax
+  * cost[to] = min(cost[fr] + pen[to] + w(hop)), backtrace.
+  *
+  * Cutoff-doubling is LAYER-level (Router.tpp:96-148): the whole n x m
+  * matrix is retried at doubled cutoff (<= 3 steps) until any pair relaxes;
+  * only if NOTHING in the layer was found does the fallback ladder fire
+  * (Router.tpp:150-180): null candidates get cost + finalCutoff*100, real
+  * candidates get zero-hop "dummy edges" (pen only, path empty). A found
+  * real path therefore always beats the fallback — r1 priced a per-pair
+  * fallback at 2x base cutoff, which silently beat real paths found at the
+  * 4x/8x retry depths.
   */
 object Viterbi {
   val MaxDoublingSteps = 3
 
-  /** Transition weight (ExpoTransWeight analog, Weights.cpp:175-215): the
-    * path cost itself scaled by transitionPenalty, with a cutoff derived
-    * from the scheduled hop time: maxCost10 = max(schedSec, 60) * 3 * 10. */
-  def maxHopCost10(schedSec: Double): Long =
-    (math.max(schedSec, 60.0) * 3.0 * 10.0).toLong
+  /** ExpoTransWeight.maxCost (Weights.cpp:189-196): cutoff10 =
+    * ceil(max(hopTimeSec, 60) * 3 * punishFactor * 10). */
+  def maxHopCost10(hopTimeSec: Double, punishFactor: Double = 1.0): Long =
+    math.ceil(math.max(hopTimeSec, 60.0) * 3.0 * punishFactor * 10.0).toLong
+
+  /** Transition-weight models (Weights.cpp:175-259, Weights.h:25-156),
+    * returning deciseconds-scaled weights (w10 = round(wSeconds * 10)):
+    *  - expo:      w = transitionPen * c/10            (ExpoTransWeight)
+    *  - normdistr: w = ((t/t0 - 1))^2 + expo, inf if t0<0, t0>=10s
+    *  - distdiff:  w = transitionPen * |d - d0| meters (needs distances,
+    *               no cutoff)
+    */
+  def transWeight10(model: String, transitionPen: Double, hop10: Long,
+                    distM: Double, schedSec: Double, hopDistM: Double): Long =
+    model match {
+      case "normdistr" =>
+        if (schedSec < 0) Dijkstra.Inf
+        else {
+          val t0 = math.max(10.0, schedSec)
+          val cNorm = (hop10 / 10.0) / t0 - 1.0
+          math.round(cNorm * cNorm * 10.0 + transitionPen * hop10)
+        }
+      case "distdiff" =>
+        math.round(transitionPen * math.abs(distM - hopDistM) * 10.0)
+      case _ => // expo
+        math.round(transitionPen * hop10)
+    }
 
   /** Solve one trip/cluster.
     * @param cands candidate group per stop layer (each non-empty; may hold
     *              the null candidate)
     * @param schedSec scheduled seconds between consecutive stops (n-1)
-    * @param straightDist10 fallback cost for an unroutable hop (from
-    *        straight-line distance), per hop
     * @param turnPen10 transition penalty oracle (-1 = forbidden)
+    * @param hopDistM straight-line stop-to-stop meters per hop (optional;
+    *        enables the reference's min-time cutoff bound and distdiff)
+    * @param cutoffFactor widens the hop cutoff (the reference multiplies
+    *        maxCost by its line-punish factors, Weights.cpp:192-195)
+    * @param cacheCtx graph+config+line identity folded into hop-memo keys
     */
   def solve(g: CompactGraph, cands: Array[Array[Cand]], schedSec: Array[Double],
             turnPen10: (Int, Int) => Long,
             vmaxMs: Double = 85.0 / 3.6,
-            cacheKeySalt: Long = 0L): SolveResult = {
+            hopDistM: Array[Double] = null,
+            transitionPenalty: Double = 1.0,
+            transModel: String = "expo",
+            cutoffFactor: Double = 1.0,
+            cacheCtx: Long = 0L): SolveResult = {
     val nLayers = cands.length
     require(nLayers >= 1 && schedSec.length == nLayers - 1)
     val Inf = Dijkstra.Inf
     val ws = WorkspacePool.get(2 * g.numEdges)
+    val needDist = transModel == "distdiff"
 
     // cost/pred lattice (CostsDAG/PredeDAG, Router.h:38-40)
     val cost = Array.tabulate(nLayers)(l => Array.fill[Long](cands(l).length)(Inf))
@@ -66,7 +103,28 @@ object Viterbi {
     var layer = 0
     while (layer < nLayers - 1) {
       val from = cands(layer); val to = cands(layer + 1)
-      val baseCutoff = maxHopCost10(schedSec(layer))
+
+      // hop time: scheduled, floored by straight-line dist / fastest source
+      // component speed (Router.tpp:57-72 maxSpeed + minTime)
+      val hopTime = {
+        var t = schedSec(layer)
+        if (hopDistM != null) {
+          var maxV = 0.0
+          var fi = 0
+          while (fi < from.length) {
+            if (from(fi).dirEdge >= 0) {
+              val v = g.compMaxSpeed(g.compOfDir(from(fi).dirEdge))
+              if (v > maxV) maxV = v
+            }
+            fi += 1
+          }
+          if (maxV > 0 && hopDistM(layer) / maxV > t) t = hopDistM(layer) / maxV
+        }
+        t
+      }
+      val baseCutoff =
+        if (needDist) Inf / 2 else maxHopCost10(hopTime, cutoffFactor)
+
       // A* heuristic (reference Weights.cpp:15-62): centroid of the target
       // candidates + the max centroid->target distance keeps it admissible
       // AND consistent; h(target) = 0 so cutoff termination stays exact.
@@ -104,116 +162,137 @@ object Viterbi {
       // by every source candidate of this layer)
       val targets = to.collect { case c if c.dirEdge >= 0 => c.dirEdge }
       val tHash = HopCache.targetsHash(targets)
-      var fr = 0
-      while (fr < from.length) {
-        if (cost(layer)(fr) < Inf) {
+
+      // ---- layer-level cutoff doubling (Router.tpp:96-148) ----
+      var cutoff = baseCutoff
+      var step = 0
+      var found = false
+      var done = false
+      while (!done) {
+        var fr = 0
+        while (fr < from.length) {
           val fc = from(fr)
-          if (fc.dirEdge >= 0) {
-            if (targets.nonEmpty) {
-              // init cost: remaining part of the source edge after progr —
-              // Router.tpp progression offset math, in deciseconds.
-              // Dijkstra pays the FULL source edge cost, so subtract the
-              // consumed part: init = -progr * cost(e). We fold it in by
-              // passing initCost10 = -(progr * cost) (>= -cost).
-              val srcCost = g.dirCost10(fc.dirEdge)
-              val init = -math.min(srcCost, math.round(fc.progr * srcCost))
-              // comp shortcut (Router.tpp:329-331): if all targets in other
-              // components, skip the search entirely
-              val srcComp = g.compOfDir(fc.dirEdge)
-              var anySameComp = false
-              var ti = 0
-              while (ti < targets.length && !anySameComp) {
-                if (g.compOfDir(targets(ti)) == srcComp) anySameComp = true
-                ti += 1
-              }
-              if (anySameComp) {
-                // hop-cost memo (reference HopCache + cross-trie reuse):
-                // the same (source cand, target set, cutoff) repeats across
-                // thousands of trip patterns
-                val key = HopCache.Key(fc.dirEdge,
-                  math.round(fc.progr * 10000).toInt, baseCutoff,
-                  tHash * 1000003L + cacheKeySalt)
-                var hv = HopCache.get(key, targets)
-                if (hv == null) {
-                  // iterative deepening: cutoff doubling <= 3 steps (4.9)
-                  var cutoff = baseCutoff
-                  var step = 0
-                  var done = false
-                  while (!done && step <= MaxDoublingSteps) {
-                    val reached = Dijkstra.oneToMany(g, ws, fc.dirEdge, init, targets,
-                      cutoff, turnPen10, heur)
-                    done = reached > 0 || step == MaxDoublingSteps
-                    cutoff *= 2; step += 1
+          if (cost(layer)(fr) < Inf && fc.dirEdge >= 0 && targets.nonEmpty) {
+            // init cost: remaining part of the source edge after progr —
+            // Router.tpp progression offset math, in deciseconds.
+            // Dijkstra pays the FULL source edge cost, so subtract the
+            // consumed part: init = -progr * cost(e).
+            val srcCost = g.dirCost10(fc.dirEdge)
+            val init = -math.min(srcCost, math.round(fc.progr * srcCost))
+            // comp shortcut (Router.tpp:329-331): if all targets in other
+            // components, skip the search entirely
+            val srcComp = g.compOfDir(fc.dirEdge)
+            var anySameComp = false
+            var ti = 0
+            while (ti < targets.length && !anySameComp) {
+              if (g.compOfDir(targets(ti)) == srcComp) anySameComp = true
+              ti += 1
+            }
+            if (anySameComp) {
+              // hop-cost memo (reference HopCache + cross-trie reuse):
+              // the same (source cand, target set, cutoff) repeats across
+              // thousands of trip patterns
+              val key = HopCache.Key(cacheCtx, fc.dirEdge,
+                math.round(fc.progr * 10000).toInt, cutoff, tHash)
+              var hv = HopCache.get(key, targets)
+              if (hv == null) {
+                Dijkstra.oneToMany(g, ws, fc.dirEdge, init, targets,
+                  cutoff, turnPen10, heur)
+                val costs = new Array[Long](targets.length)
+                val paths = new Array[Array[Int]](targets.length)
+                var i = 0
+                while (i < targets.length) {
+                  val td = targets(i)
+                  if (ws.isSettled(td)) {
+                    costs(i) = ws.costOf(td)
+                    paths(i) = Dijkstra.path(ws, fc.dirEdge, td)
+                  } else costs(i) = Inf
+                  i += 1
+                }
+                hv = HopCache.Val(targets, costs, paths)
+                HopCache.put(key, hv)
+                HopCache.Misses.increment()
+              } else HopCache.Hits.increment()
+              var t2 = 0
+              while (t2 < to.length) {
+                val tc = to(t2)
+                if (tc.dirEdge >= 0) {
+                  // index of this cand's edge in the target array
+                  var ti2 = 0
+                  while (ti2 < targets.length && targets(ti2) != tc.dirEdge) ti2 += 1
+                  var path: Array[Int] = null
+                  var hop = Inf
+                  if (tc.dirEdge == fc.dirEdge) {
+                    // same-edge special case: directly along one edge;
+                    // backwards on a directed edge stays unreachable (the
+                    // Dijkstra self-cost would clamp it to 0)
+                    if (tc.progr >= fc.progr) {
+                      hop = math.round((tc.progr - fc.progr) * srcCost)
+                      path = Array(fc.dirEdge)
+                    }
+                  } else if (hv.costs(ti2) < Inf) {
+                    // subtract un-traversed tail of the target edge
+                    val tgtCost = g.dirCost10(tc.dirEdge)
+                    hop = hv.costs(ti2) -
+                      math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
+                    if (hop < 0) hop = 0
+                    path = hv.paths(ti2)
                   }
-                  val costs = new Array[Long](targets.length)
-                  val paths = new Array[Array[Int]](targets.length)
-                  var i = 0
-                  while (i < targets.length) {
-                    val td = targets(i)
-                    if (ws.isSettled(td)) {
-                      costs(i) = ws.costOf(td)
-                      paths(i) = Dijkstra.path(ws, fc.dirEdge, td)
-                    } else costs(i) = Inf
-                    i += 1
-                  }
-                  hv = HopCache.Val(targets, costs, paths)
-                  HopCache.put(key, hv)
-                  HopCache.Misses.increment()
-                } else HopCache.Hits.increment()
-                var t2 = 0
-                while (t2 < to.length) {
-                  val tc = to(t2)
-                  if (tc.dirEdge >= 0) {
-                    // index of this cand's edge in the target array
-                    var ti2 = 0
-                    while (ti2 < targets.length && targets(ti2) != tc.dirEdge) ti2 += 1
-                    if (hv.costs(ti2) < Inf) {
-                      // subtract un-traversed tail of the target edge
-                      val tgtCost = g.dirCost10(tc.dirEdge)
-                      var hop = hv.costs(ti2) -
-                        math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
-                      // same-edge special case: directly along one edge
-                      if (tc.dirEdge == fc.dirEdge) {
-                        hop =
-                          if (tc.progr >= fc.progr)
-                            math.round((tc.progr - fc.progr) * srcCost)
-                          else Inf // backwards on a directed edge: not this way
-                      }
-                      if (hop < Inf) {
-                        if (hop < 0) hop = 0
-                        val total = cost(layer)(fr) + hop + tc.pen10
-                        if (total < cost(layer + 1)(t2)) {
-                          cost(layer + 1)(t2) = total
-                          pred(layer + 1)(t2) = fr
-                          bestPath(layer + 1)(t2) =
-                            if (tc.dirEdge == fc.dirEdge && tc.progr >= fc.progr)
-                              Array(fc.dirEdge)
-                            else hv.paths(ti2)
-                        }
+                  if (hop < Inf) {
+                    // transition weight on the raw hop cost (G6)
+                    val distM =
+                      if (!needDist) 0.0
+                      else pathDistM(g, path, fc.progr, tc.progr)
+                    val w = transWeight10(transModel, transitionPenalty, hop,
+                      distM, schedSec(layer),
+                      if (hopDistM == null) 0.0 else hopDistM(layer))
+                    if (w < Inf) {
+                      val total = cost(layer)(fr) + w + tc.pen10
+                      if (total < cost(layer + 1)(t2)) {
+                        cost(layer + 1)(t2) = total
+                        pred(layer + 1)(t2) = fr
+                        bestPath(layer + 1)(t2) = path
+                        found = true
                       }
                     }
                   }
-                  t2 += 1
                 }
+                t2 += 1
               }
             }
           }
-          // null-candidate / fallback edge: always allow the straight-line
-          // fallback so the DAG never dead-ends (Router.tpp:150-180)
-          var t3 = 0
-          while (t3 < to.length) {
-            val tc = to(t3)
-            val fallback = cost(layer)(fr) + tc.pen10 +
-              maxHopCost10(schedSec(layer)) * 2 // strictly worse than any real path
-            if (fallback < cost(layer + 1)(t3)) {
-              cost(layer + 1)(t3) = fallback
-              pred(layer + 1)(t3) = fr
-              bestPath(layer + 1)(t3) = Array.empty[Int]
-            }
-            t3 += 1
-          }
+          fr += 1
         }
-        fr += 1
+        done = found || step == MaxDoublingSteps || cutoff >= Inf / 2
+        if (!done) { cutoff *= 2; step += 1 }
+      }
+
+      // ---- fallback ladder, only when NOTHING was found in this layer
+      // (Router.tpp:150-180) ----
+      if (!found) {
+        var fr = 0
+        while (fr < from.length) {
+          if (cost(layer)(fr) < Inf) {
+            var t3 = 0
+            while (t3 < to.length) {
+              val tc = to(t3)
+              val fallback =
+                if (tc.dirEdge < 0)
+                  // null candidate: far above any real path (maxCost * 100)
+                  cost(layer)(fr) + cutoff * 100
+                else
+                  // dummy edge to a real candidate: pen only, empty path
+                  cost(layer)(fr) + tc.pen10
+              if (fallback < cost(layer + 1)(t3)) {
+                cost(layer + 1)(t3) = fallback
+                pred(layer + 1)(t3) = fr
+                bestPath(layer + 1)(t3) = Array.empty[Int]
+              }
+              t3 += 1
+            }
+          }
+          fr += 1
+        }
       }
       layer += 1
     }
@@ -248,5 +327,19 @@ object Viterbi {
       l += 1
     }
     SolveResult(chosen, hops, bestCost)
+  }
+
+  /** Traveled meters of a directed-edge path with partial first/last edges
+    * (the reference's dists matrix for DistDiffTransWeight, NEED_DIST). */
+  def pathDistM(g: CompactGraph, path: Array[Int],
+                progrFr: Double, progrTo: Double): Double = {
+    if (path == null || path.isEmpty) return 0.0
+    if (path.length == 1)
+      return g.lenM(path(0) >> 1) * math.max(0.0, progrTo - progrFr)
+    var d = 0.0
+    var i = 0
+    while (i < path.length) { d += g.lenM(path(i) >> 1); i += 1 }
+    d - g.lenM(path(0) >> 1) * progrFr -
+      g.lenM(path(path.length - 1) >> 1) * (1.0 - progrTo)
   }
 }

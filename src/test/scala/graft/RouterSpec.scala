@@ -128,6 +128,74 @@ class RouterSpec extends AnyFunSuite {
     // comp shortcut must prevent any dijkstra iterations for this hop
   }
 
+  test("viterbi: real path found at deep retry beats the fallback ladder") {
+    // hop cost 4660 ds lies in (2x, 8x] of the base cutoff 1800 ds
+    // (sched 60 s): only the 2nd doubling finds it. The fallback must NOT
+    // win (r1 priced a per-pair fallback at 2x base, shadowing real paths
+    // found at 4x/8x and emitting them as unreachable straight lines).
+    val segsSlow = Seq(
+      (1L, 2L, 10.0, 0, 100L), (2L, 3L, 6.0, 0, 150L),
+      (3L, 4L, 450.0, 0, 160L))
+    val gs = CompactGraph.fromSegments(segsSlow, coords)
+    val cands = Array(
+      Array(Cand(0, 0.0, 0L, 48.0, 7.80)),
+      Array(Cand(4, 1.0, 0L, 48.0, 7.83)))
+    val res = Viterbi.solve(gs, cands, Array(60.0), noPen)
+    assert(res.hops(0).reachable, "deep-retry path must be found")
+    assert(res.totalCost10 == 4660L)
+    assert(res.hops(0).edges.toSeq == Seq(0, 2, 4))
+  }
+
+  test("viterbi: transition penalty scales hop cost, not emission pens") {
+    val cands = Array(
+      Array(Cand(0, 0.5, 30L, 48.0, 7.805)),
+      Array(Cand(4, 0.5, 40L, 48.0, 7.825)))
+    val res = Viterbi.solve(g, cands, Array(600.0), noPen, transitionPenalty = 2.0)
+    // 30 (pen) + 2 * 610 (hop) + 40 (pen) = 1290
+    assert(res.totalCost10 == 30L + 1220L + 40L)
+  }
+
+  test("viterbi: normdistr transition weight") {
+    val cands = Array(
+      Array(Cand(0, 0.5, 0L, 48.0, 7.805)),
+      Array(Cand(4, 0.5, 0L, 48.0, 7.825)))
+    val res = Viterbi.solve(g, cands, Array(600.0), noPen, transModel = "normdistr")
+    // t = 61 s, t0 = 600 s: w10 = round(((61/600 - 1)^2) * 10 + 610) = 618
+    val cNorm = 61.0 / 600.0 - 1.0
+    assert(res.totalCost10 == math.round(cNorm * cNorm * 10.0 + 610.0))
+  }
+
+  test("viterbi: distdiff transition weight uses traveled vs straight dist") {
+    val cands = Array(
+      Array(Cand(0, 0.0, 0L, 48.000, 7.800)),
+      Array(Cand(4, 1.0, 0L, 48.000, 7.830)))
+    // path A->B->C->D along the straight line: traveled == straight dist
+    val hopD = Geo.haversineM(48.000, 7.800, 48.000, 7.830)
+    val res = Viterbi.solve(g, cands, Array(600.0), noPen,
+      hopDistM = Array(hopD), transModel = "distdiff")
+    // |d - d0| ~ 0 -> weight ~ 0; pens are 0
+    assert(res.hops(0).reachable)
+    assert(res.totalCost10 <= 10L, s"got ${res.totalCost10}")
+  }
+
+  test("hop memo is scoped per graph instance (no cross-graph reuse)") {
+    HopCache.clear()
+    // identical topology/indices, different costs: without the graph token
+    // in the key the second solve would reuse the first graph's cached hop
+    val gA = CompactGraph.fromSegments(segs, coords)
+    val segsB = segs.map { case (f, t, c, o, w) => (f, t, c * 2, o, w) }
+    val gB = CompactGraph.fromSegments(segsB, coords)
+    val cands = Array(
+      Array(Cand(0, 0.5, 0L, 48.0, 7.805)),
+      Array(Cand(4, 0.5, 0L, 48.0, 7.825)))
+    val ctxA = HopCache.mixCtx(gA.token, 0L, "L1")
+    val ctxB = HopCache.mixCtx(gB.token, 0L, "L1")
+    val rA = Viterbi.solve(gA, cands, Array(600.0), noPen, cacheCtx = ctxA)
+    val rB = Viterbi.solve(gB, cands, Array(600.0), noPen, cacheCtx = ctxB)
+    assert(rA.totalCost10 == 610L)
+    assert(rB.totalCost10 == 1220L)
+  }
+
   test("connected components") {
     val coords2 = coords ++ Map(10L -> (49.0, 8.0), 11L -> (49.0, 8.01))
     val g2 = CompactGraph.fromSegments(segs :+ ((10L, 11L, 5.0, 0, 300L)), coords2)
