@@ -91,6 +91,67 @@ object GraphBuilder {
       .drop("chain")
   }
 
+  /** G8 fixGaps (OsmBuilder.cpp:1080-1122): merge degree-1 endpoints lying
+    * within toleranceM of each other — real OSM has sub-meter digitization
+    * gaps that otherwise split the graph into unroutable components. The
+    * candidate pairs come from a k-ring self-join of deg-1 endpoints at a
+    * fine cell resolution (the reference's NodeGrid padded-box query); the
+    * smaller node id wins, 2-chains resolve through one extra hop. */
+  def fixGaps(edges: DataFrame, toleranceM: Double = 1.0): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // res 24: cellDeg = 90/2^24 deg ~ 0.6 m — a k=1 ring covers 1 m
+    val res = 24
+    val ends = edges.select($"from_id".as("node_id"), $"from_lat".as("lat"), $"from_lon".as("lon"))
+      .unionByName(edges.select($"to_id".as("node_id"), $"to_lat".as("lat"), $"to_lon".as("lon")))
+    val deg1 = ends.groupBy($"node_id")
+      .agg(count(lit(1)).as("deg"), min($"lat").as("lat"), min($"lon").as("lon"))
+      .filter($"deg" === 1)
+    val aSide = deg1.select($"node_id".as("a"), $"lat".as("a_lat"), $"lon".as("a_lon"),
+      explode(kring(gcell($"lat", $"lon", res), 1)).as("cell"))
+    val bSide = deg1.select($"node_id".as("b"), $"lat".as("b_lat"), $"lon".as("b_lon"),
+      gcell($"lat", $"lon", res).as("cell"))
+    val pairs = aSide.join(bSide, Seq("cell"))
+      .filter($"a" < $"b" &&
+        haversineM($"a_lat", $"a_lon", $"b_lat", $"b_lon") <= toleranceM)
+      .select($"a", $"a_lat", $"a_lon", $"b").distinct()
+    // canonical target per merged node; resolve one chain hop (b->a, c->b)
+    val m0 = pairs.groupBy($"b")
+      .agg(min_by(struct($"a", $"a_lat", $"a_lon"), $"a").as("t"))
+      .select($"b", $"t.a".as("a"), $"t.a_lat".as("a_lat"), $"t.a_lon".as("a_lon"))
+    val mapping = m0.as("m1")
+      .join(m0.as("m2"), col("m1.a") === col("m2.b"), "left_outer")
+      .select(col("m1.b").as("b"),
+        coalesce(col("m2.a"), col("m1.a")).as("a"),
+        coalesce(col("m2.a_lat"), col("m1.a_lat")).as("a_lat"),
+        coalesce(col("m2.a_lon"), col("m1.a_lon")).as("a_lon"))
+    val fm = mapping.select($"b".as("from_id"), $"a".as("nf_id"),
+      $"a_lat".as("nf_lat"), $"a_lon".as("nf_lon"))
+    val tm = mapping.select($"b".as("to_id"), $"a".as("nt_id"),
+      $"a_lat".as("nt_lat"), $"a_lon".as("nt_lon"))
+    edges.join(broadcast(fm), Seq("from_id"), "left_outer")
+      .join(broadcast(tm), Seq("to_id"), "left_outer")
+      .withColumn("from_id2", coalesce($"nf_id", $"from_id"))
+      .withColumn("from_lat2", coalesce($"nf_lat", $"from_lat"))
+      .withColumn("from_lon2", coalesce($"nf_lon", $"from_lon"))
+      .withColumn("to_id2", coalesce($"nt_id", $"to_id"))
+      .withColumn("to_lat2", coalesce($"nt_lat", $"to_lat"))
+      .withColumn("to_lon2", coalesce($"nt_lon", $"to_lon"))
+      // geometry endpoints follow the merged node position
+      .withColumn("geom", concat(
+        array(struct($"from_lat2".as("lat"), $"from_lon2".as("lon"))),
+        expr("slice(geom, 2, greatest(size(geom) - 2, 0))"),
+        array(struct($"to_lat2".as("lat"), $"to_lon2".as("lon")))))
+      .drop("from_id", "from_lat", "from_lon", "to_id", "to_lat", "to_lon",
+        "nf_id", "nf_lat", "nf_lon", "nt_id", "nt_lat", "nt_lon")
+      .withColumnRenamed("from_id2", "from_id")
+      .withColumnRenamed("from_lat2", "from_lat")
+      .withColumnRenamed("from_lon2", "from_lon")
+      .withColumnRenamed("to_id2", "to_id")
+      .withColumnRenamed("to_lat2", "to_lat")
+      .withColumnRenamed("to_lon2", "to_lon")
+  }
+
   case class BBox(latMin: Double, lonMin: Double, latMax: Double, lonMax: Double) {
     def pad(padM: Double): BBox = {
       val dLat = padM / Geo.MPerDeg
@@ -163,7 +224,10 @@ object GraphBuilder {
       .withColumn("cost10", costToIntUdf($"len_m" / speedCol))
 
     // ---- G8 collapseEdges: contract deg-2 chains within each way ----
-    val contracted = contractDeg2Chains(edgesCost)
+    val contracted0 = contractDeg2Chains(edgesCost)
+
+    // ---- G8 fixGaps: 1 m endpoint merge of degree-1 nodes ----
+    val contracted = fixGaps(contracted0)
 
     // ---- cells: cover the edge GEOMETRY bbox at cfg.cellRes ----
     val edges = contracted.withColumn("cells",

@@ -8,10 +8,13 @@ import graft.geo.Geo
   * edges DataFrame, serialized to executors via a Spark broadcast; all
   * matcher kernels route over it without touching Spark rows.
   *
-  * Directed expansion: stored (undirected-with-flags) edge i yields directed
-  * edge 2*i (forward, from->to, unless oneway=2) and 2*i+1 (backward,
-  * to->from, unless oneway=1) — the reference's writeODirEdgs
-  * (/root/reference/src/pfaedle/osm/OsmBuilder.cpp:1697-1706).
+  * Directed expansion: stored edge i yields directed edge 2*i (forward,
+  * from->to) and 2*i+1 (backward, to->from) — the reference's
+  * writeODirEdgs (/root/reference/src/pfaedle/osm/OsmBuilder.cpp:1697-1706).
+  * Travel AGAINST a oneway edge is PENALIZED, not blocked — the reference's
+  * writeOneWayPens (OsmBuilder.cpp:1740-1751: cost * oneWaySpeedPen +
+  * oneWayEntryCost); hard-blocking made buses that legally travel short
+  * one-way stretches unroutable.
   */
 class CompactGraph(
     val edgeIds: Array[Long], // stable external edge ids
@@ -24,7 +27,11 @@ class CompactGraph(
     val geomLat: Array[Array[Double]], // polyline per stored edge (>= 2 pts)
     val geomLon: Array[Array[Double]],
     val edgeLines: Array[Array[String]], // transit line short names per edge
-    restrictionsIn: Array[(Long, Long, Long, Boolean)] // (via, fromWay, toWay, positive)
+    restrictionsIn: Array[(Long, Long, Long, Boolean)], // (via, fromWay, toWay, positive)
+    /** wrong-way cost shaping (reference defaults: pfaedle.cfg:408-412
+      * osm_one_way_speed_penalty_fac 5 / osm_one_way_entry_cost 300) */
+    val oneWaySpeedPen: Double = 5.0,
+    val oneWayEntryCostSec: Double = 300.0
 ) extends Serializable {
 
   /** process-unique instance token (serialized with the broadcast copy) —
@@ -68,19 +75,26 @@ class CompactGraph(
 
   @inline def dirFrom(de: Int): Long = if ((de & 1) == 0) edgeFrom(de >> 1) else edgeTo(de >> 1)
   @inline def dirTo(de: Int): Long = if ((de & 1) == 0) edgeTo(de >> 1) else edgeFrom(de >> 1)
-  @inline def dirAllowed(de: Int): Boolean = {
-    val ow = oneway(de >> 1)
-    if ((de & 1) == 0) ow != 2 else ow != 1
-  }
-  @inline def dirCost10(de: Int): Long = cost10(de >> 1)
 
-  /** CSR adjacency: directed edges leaving each node (by dense index). */
+  private def onewayPen(c: Long): Long =
+    Geo.costToInt((c / 10.0) * oneWaySpeedPen + oneWayEntryCostSec)
+  /** per-direction cost: the banned direction of a oneway edge pays the
+    * wrong-way penalty (writeOneWayPens, OsmBuilder.cpp:1740-1751) */
+  val fwdCost10: Array[Long] =
+    Array.tabulate(numEdges)(i => if (oneway(i) == 2) onewayPen(cost10(i)) else cost10(i))
+  val revCost10: Array[Long] =
+    Array.tabulate(numEdges)(i => if (oneway(i) == 1) onewayPen(cost10(i)) else cost10(i))
+  @inline def dirCost10(de: Int): Long =
+    if ((de & 1) == 0) fwdCost10(de >> 1) else revCost10(de >> 1)
+
+  /** CSR adjacency: directed edges leaving each node (by dense index) —
+    * both directions of every edge (wrong-way is penalized, not absent). */
   val (adjOffsets, adjEdges) = {
     val counts = new Array[Int](numNodes + 1)
     var i = 0
     while (i < numEdges) {
-      if (oneway(i) != 2) counts(nodeIndex.get(edgeFrom(i)) + 1) += 1
-      if (oneway(i) != 1) counts(nodeIndex.get(edgeTo(i)) + 1) += 1
+      counts(nodeIndex.get(edgeFrom(i)) + 1) += 1
+      counts(nodeIndex.get(edgeTo(i)) + 1) += 1
       i += 1
     }
     var j = 1
@@ -89,8 +103,8 @@ class CompactGraph(
     val adj = new Array[Int](counts(numNodes))
     i = 0
     while (i < numEdges) {
-      if (oneway(i) != 2) { val n = nodeIndex.get(edgeFrom(i)); adj(fill(n)) = 2 * i; fill(n) += 1 }
-      if (oneway(i) != 1) { val n = nodeIndex.get(edgeTo(i)); adj(fill(n)) = 2 * i + 1; fill(n) += 1 }
+      val f = nodeIndex.get(edgeFrom(i)).intValue(); adj(fill(f)) = 2 * i; fill(f) += 1
+      val t = nodeIndex.get(edgeTo(i)).intValue(); adj(fill(t)) = 2 * i + 1; fill(t) += 1
       i += 1
     }
     (counts, adj)
@@ -209,9 +223,15 @@ class CompactGraph(
     * angle at a node with degree > 2. Allocation-free — runs once per
     * Dijkstra relaxation. */
   def isFullTurn(fromDir: Int, toDir: Int, fullTurnAngleDeg: Double): Boolean = {
-    if ((fromDir >> 1) == (toDir >> 1) && fromDir != toDir) return true // U-turn on same edge
     val ni = dirToIdx(fromDir)
-    if (adjOffsets(ni + 1) - adjOffsets(ni) <= 2) return false
+    val deg = adjOffsets(ni + 1) - adjOffsets(ni)
+    if ((fromDir >> 1) == (toDir >> 1) && fromDir != toDir)
+      // U-turn on same edge — free at a degree-1 terminus, where turning
+      // back is the only way onward (the reference reaches the same effect
+      // with writeSelfEdgs' infinite self-loops at end-stations,
+      // OsmBuilder.cpp:1709-1724: 'this is a problem at end-stations')
+      return deg > 1
+    if (deg <= 2) return false
     // angle at the shared node: fromDir's last segment vs toDir's first
     // (toDir's second point = prev point of its reverse direction)
     Geo.innerAngleDeg(

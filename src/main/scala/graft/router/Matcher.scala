@@ -307,14 +307,16 @@ object MatcherKernel {
     val layers: Array[Array[Cand]] = stops.map { st =>
       val (stopId, sLat, sLng) = (st.stop_id, st.lat, st.lng)
       val raw = candMap.getOrElse(stopId, Array.empty)
-      val cs = raw.flatMap { case (eid, progr, pen, pLat, pLon, ow) =>
+      val cs = raw.flatMap { case (eid, progr, pen, pLat, pLon, _) =>
         val idxO = g.edgeIndex.get(eid)
         if (idxO == null) Nil
         else {
+          // both directions are candidates — wrong-way travel on a oneway
+          // edge is penalized via the per-direction cost (writeOneWayPens),
+          // no longer structurally excluded
           val i = idxO.intValue()
-          val fwd = if (ow != 2) Some(Cand(2 * i, progr, pen, pLat, pLon)) else None
-          val rev = if (ow != 1) Some(Cand(2 * i + 1, 1.0 - progr, pen, pLat, pLon)) else None
-          Seq(fwd, rev).flatten
+          Seq(Cand(2 * i, progr, pen, pLat, pLon),
+              Cand(2 * i + 1, 1.0 - progr, pen, pLat, pLon))
         }
       }
       if (cs.isEmpty) Array(Cand(-1, 0.0, NullCandPen10, sLat, sLng)) else cs

@@ -52,13 +52,68 @@ class RouterSpec extends AnyFunSuite {
     assert(!ws.isSettled(4))
   }
 
-  test("oneway blocks reverse direction") {
+  test("oneway: wrong-way travel is penalized, not blocked (writeOneWayPens)") {
     val segsOw = segs.map { case (f, t, c, _, w) => (f, t, c, 1, w) } // all fwd-only
     val gw = CompactGraph.fromSegments(segsOw, coords)
-    // from e1 fwd (B->C) there is no way back to A
+    // from e1 fwd (B->C), back to A rides BOTH edges wrong-way: source e1
+    // fwd (60) + e1 reverse (6s*5+300s)*10 = 3300 + e0 reverse
+    // (10s*5+300s)*10 = 3500
     val ws = new RouterWorkspace(2 * gw.numEdges)
     val reached = Dijkstra.oneToMany(gw, ws, 2, 0L, Array(1), Long.MaxValue / 8, noPen)
-    assert(reached == 0)
+    assert(reached == 1)
+    assert(ws.costOf(1) == 60L + 3300L + 3500L)
+    // with the right-way alternative present, the penalty steers around:
+    // A->B then B->C direct (both legal) stays at base cost
+    val ws2 = new RouterWorkspace(2 * gw.numEdges)
+    Dijkstra.oneToMany(gw, ws2, 0, 0L, Array(2), Long.MaxValue / 8, noPen)
+    assert(ws2.costOf(2) == 160L)
+  }
+
+  test("terminus U-turn is free; mid-graph U-turn penalized (writeSelfEdgs analog)") {
+    // D is degree-1 (only e2 touches it): turning back there is free
+    assert(!g.isFullTurn(4, 5, 58.0)) // e2 fwd (C->D) -> e2 rev at D
+    // B has degree 3: U-turn on e0 there is a full turn
+    assert(g.isFullTurn(0, 1, 58.0))  // e0 fwd (A->B) -> e0 rev at B
+  }
+
+  test("fixGaps merges sub-meter endpoint gaps (graph becomes routable)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, array, struct}
+    // two 2-edge chains; the right chain's west endpoint is ~0.55 m east
+    // of the left chain's east endpoint (0.000005 deg lon at lat 48)
+    val rows = Seq(
+      (1L, 10L, 0, 1L, 2L, 48.0, 7.800, 48.0, 7.810, 745.0, 5, 0),
+      (2L, 10L, 1, 2L, 3L, 48.0, 7.810, 48.0, 7.820, 745.0, 5, 0),
+      (3L, 20L, 0, 4L, 5L, 48.0, 7.820005, 48.0, 7.830, 745.0, 5, 0),
+      (4L, 20L, 1, 5L, 6L, 48.0, 7.830, 48.0, 7.840, 745.0, 5, 0))
+    val edges = rows.toDF("edge_id", "way_id", "pos", "from_id", "to_id",
+        "from_lat", "from_lon", "to_lat", "to_lon", "len_m", "lvl", "oneway")
+      .withColumn("cost10", lit(100L))
+      .withColumn("geom", array(
+        struct($"from_lat".as("lat"), $"from_lon".as("lon")),
+        struct($"to_lat".as("lat"), $"to_lon".as("lon"))))
+    val fixed = graft.osm.GraphBuilder.fixGaps(edges, toleranceM = 1.0)
+    val g2 = CompactGraph.fromEdges(fixed,
+      spark.emptyDataFrame.selectExpr("CAST(1 AS LONG) via_node",
+        "CAST(1 AS LONG) from_way", "CAST(1 AS LONG) to_way", "true positive").limit(0))
+    // node 4 merged into node 3 -> one component, route end to end
+    assert(g2.compOfNode(1L) == g2.compOfNode(6L))
+    // geometry endpoint follows the merged node
+    val merged = fixed.filter($"edge_id" === 3L).head()
+    assert(merged.getAs[Long]("from_id") == 3L)
+    assert(math.abs(merged.getAs[Double]("from_lon") - 7.820) < 1e-9)
+    // a 5 m gap must NOT merge
+    val far = rows.map { case r @ (id, w, p, f, t, fla, flo, tla, tlo, l, lv, ow) =>
+      if (id == 3L) (id, w, p, f, t, fla, 7.820070, tla, tlo, l, lv, ow) else r }
+    val edgesFar = far.toDF("edge_id", "way_id", "pos", "from_id", "to_id",
+        "from_lat", "from_lon", "to_lat", "to_lon", "len_m", "lvl", "oneway")
+      .withColumn("cost10", lit(100L))
+      .withColumn("geom", array(
+        struct($"from_lat".as("lat"), $"from_lon".as("lon")),
+        struct($"to_lat".as("lat"), $"to_lon".as("lon"))))
+    val fixedFar = graft.osm.GraphBuilder.fixGaps(edgesFar, toleranceM = 1.0)
+    assert(fixedFar.filter($"edge_id" === 3L).head().getAs[Long]("from_id") == 4L)
   }
 
   test("turn restriction forbids via transition, detour via U-turn works") {
