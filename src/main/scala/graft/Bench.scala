@@ -42,7 +42,9 @@ object Bench {
     phases += ("graph_collect" -> tCollect)
 
     val (cands, tCands) = timed {
-      val c = Matcher.buildCands(spark, t.stops, gt.edges, cfg).cache()
+      // flagship path: station-aware candidates (J4/J5 + statsimi)
+      val c = Matcher.buildCandsWithStations(spark, t.stops, gt.edges,
+        gt.stations, cfg).cache()
       c.count(); c
     }
     phases += ("cands_join" -> tCands)
@@ -82,7 +84,12 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // headline: map-match + tile assignment pipeline
+    // headline: map-match + tile assignment pipeline. Warm-up first — the
+    // r1 headline measured cold-JIT kernel time and disagreed with
+    // BENCH/BASELINE.md by 140x on the same code.
+    runPipeline(spark, rows = 8, cols = 12, tripsPerRoute = 2)
+    spark.catalog.clearCache()
+    graft.router.HopCache.clear()
     val stats = runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
     stats.phases.foreach { case (k, v) => results(s"pipeline_$k") = v }
     val matchSec = stats.phases.toMap.apply("viterbi_match")

@@ -1,27 +1,18 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.fixtures.{SyntheticWorld, WorldTables}
-import graft.osm.{GraphBuilder, OsmConfig}
-import graft.router.{CompactGraph, Matcher}
-
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship: the full map-matching pipeline on the deterministic synthetic
-    * world (OSM grid -> transit graph -> k-ring candidate join -> Viterbi ->
-    * shapes). Driver smoke-checks rows > 0. */
+  /** Flagship: the FULL map-matching pipeline on the deterministic synthetic
+    * world — trip eligibility, outlier-free bbox, graph build with the G8
+    * post-processing passes, station-aware candidate join, Viterbi match
+    * with DP-simplified output shapes, color vote/consolidation, snapshot
+    * checkpoints (see PipelineQueries.artifacts). Driver smoke-checks
+    * rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     graft.functions.GeoFunctions.register(spark)
-    val world = SyntheticWorld.build(rows = 8, cols = 12)
-    val t = WorldTables(spark, world)
-    val cfg = OsmConfig.bus
-    val bbox = GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
-    val gt = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
-    val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions,
-      gt.wayLines, gt.transitLines)
-    val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg)
-    Matcher.matchTrips(spark, WorldTables.tripStops(t), cands, graph, cfg)
+    graft.queries.PipelineQueries.artifacts(spark).shapes
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

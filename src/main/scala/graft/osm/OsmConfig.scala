@@ -43,6 +43,9 @@ case class OsmConfig(
     /** transition-weight model: "expo" | "normdistr" | "distdiff"
       * (routing_transition_method, Weights.h:25-156) */
     transWeightModel: String = "expo",
+    /** Douglas-Peucker epsilon for output shape geometry, meters
+      * (ShapeBuilder.cpp:1126 applies 0.5 m before writing); 0 disables */
+    simplifyEpsM: Double = 0.5,
     /** extra cost share on edges whose transit lines do NOT match the
       * trip's line (G2 line-unmatched factors, Weights.cpp:65-155) */
     lineUnmatchedPenaltyFactor: Double = 0.5) {

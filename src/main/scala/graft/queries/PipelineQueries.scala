@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.eval.Shapevl
 import graft.fixtures.{SyntheticWorld, WorldTables}
 import graft.images.ImageFixtures
-import graft.osm.{GraphBuilder, OsmConfig}
+import graft.osm.{ColorOps, GraphBuilder, OsmConfig}
 import graft.overlay.ImageOverlay
+import graft.plans.Snapshots
 import graft.router.{CompactGraph, Matcher}
 
 /** The map-matching / overlay / eval pipeline exposed as driver queries.
@@ -15,12 +16,25 @@ import graft.router.{CompactGraph, Matcher}
   * without oracles (rows-only check); their exactness is asserted by the
   * golden ScalaTest suites (PipelineSpec, EvalSpec, OverlaySpec) instead.
   * Inputs are the deterministic synthetic world (seeded; no external data),
-  * independent of the sf dir. */
+  * independent of the sf dir.
+  *
+  * This is the FLAGSHIP wiring (SparkEntry.entry serves artifacts().shapes):
+  * eligibleTrips (F7) -> outlier-free bbox (F8/A1) -> graph build incl. G8
+  * passes -> station-aware candidates (J4/J5 + U1-U5 statsimi) -> Viterbi
+  * match with per-hop DP simplification (U10) -> color vote (A8) -> route
+  * color consolidation (A7) -> shapevl eval + image overlay, with
+  * Snapshots.stage checkpoints after the graph and candidate stages
+  * (SURVEY §7.1 checkpoints; the north rule's resumability). */
 object PipelineQueries {
   import GraftQueries.Q
 
   case class Artifacts(shapes: DataFrame, anchors: DataFrame, scores: DataFrame,
-                       assigned: DataFrame, verified: DataFrame)
+                       assigned: DataFrame, verified: DataFrame,
+                       tripColors: DataFrame, routeColors: DataFrame)
+
+  /** bump when graph/matcher semantics change — keeps persisted snapshot
+    * checkpoints from serving stale stage output to a newer engine */
+  val EngineVersion = "r2-g8"
 
   @volatile private var cache: (SparkSession, Artifacts) = null
 
@@ -30,14 +44,37 @@ object PipelineQueries {
     val world = SyntheticWorld.build(rows = 8, cols = 12)
     val t = WorldTables(spark, world)
     val cfg = OsmConfig.bus
-    val bbox = GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
+    val snapDir = "target/snapshots/pipeline"
+    val fp = Snapshots.fingerprint(EngineVersion, "world-8x12-seed42",
+      cfg.fingerprint.toString)
+
+    // F7: trip eligibility (>=2 stop times, bus MOT, no pre-existing shape)
+    val elig = Matcher.eligibleTrips(t.trips, t.routes, t.stopTimes,
+      mots = Set(3), dropShapes = false)
+    val tripStops = WorldTables.tripStops(t)
+      .join(elig.select($"trip_id"), Seq("trip_id"), "left_semi")
+    // F8 + A1: station outliers are excluded from the feed bbox (getGtfsBox)
+    val okStops = Matcher.nonOutlierStops(tripStops, cfg.levelSpeedsKmh.max / 3.6)
+    val bbox = GraphBuilder.feedBBox(
+      t.stops.join(okStops, Seq("stop_id"), "left_semi")).pad(cfg.bboxPaddingM)
+
     val gt = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
-    val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions,
+    // checkpoint #1: the routable graph
+    val edges = Snapshots.stage(spark, snapDir, "graph_edges", fp)(gt.edges)
+    val graph = CompactGraph.fromEdges(edges, gt.restrictions,
       gt.wayLines, gt.transitLines)
-    val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg)
-    val (shapes0, anchors) =
-      Matcher.matchTripsFull(spark, WorldTables.tripStops(t), cands, graph, cfg)
+    // checkpoint #2: station-aware snap candidates
+    val cands = Snapshots.stage(spark, snapDir, "cands", fp)(
+      Matcher.buildCandsWithStations(spark, t.stops, edges, gt.stations, cfg))
+
+    val (shapes0, anchors) = Matcher.matchTripsFull(spark, tripStops, cands, graph, cfg)
     val shapes = shapes0.cache()
+    val hops = Matcher.matchedHops.cache()
+
+    // A8 shape color vote + A7 route color consolidation over matched hops
+    val tripColors = ColorOps.shapeColorVote(hops, edges, gt.wayLines,
+      gt.transitLines).cache()
+    val routeColors = ColorOps.consolidateRouteColors(t.trips, tripColors).cache()
 
     val truthByTrip = t.trips.select($"trip_id", $"route_id")
       .join(t.truthShapes.withColumn("route_id",
@@ -53,7 +90,8 @@ object PipelineQueries {
     val images = ImageFixtures.build(world, cfg.cellRes).toDF()
     val assigned = ImageOverlay.assign(images, shapes, cfg.cellRes)
     val verified = ImageOverlay.verify(spark, images)
-    val a = Artifacts(shapes, anchors, scores, assigned, verified)
+    val a = Artifacts(shapes, anchors, scores, assigned, verified,
+      tripColors, routeColors)
     cache = (spark, a)
     a
   }
@@ -93,5 +131,19 @@ object PipelineQueries {
           sum(when($"phash_ok", 1L).otherwise(0L)).as("n_phash_ok"),
           sum(when($"caption_ok", 1L).otherwise(0L)).as("n_caption_ok"))
         .orderBy($"fmt")
+    }),
+    // A8: per-trip voted line color (coverage-weighted)
+    "q_color_vote" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      artifacts(s).tripColors
+        .select($"trip_id", $"color", $"coverage")
+        .orderBy($"trip_id")
+    }),
+    // A7: consolidated route colors (route splits as route_id::N)
+    "q_route_colors" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      artifacts(s).routeColors
+        .select($"route_id", $"new_route_id", $"color", $"text_color")
+        .orderBy($"route_id", $"new_route_id")
     }))
 }

@@ -368,7 +368,10 @@ object MatcherKernel {
       cacheCtx = HopCache.mixCtx(g.token, cfg.fingerprint, lineName))
 
     // materialize geometry: per hop either the routed polyline or a straight
-    // fallback (ShapeBuilder.cpp:988-1028 getGeom straight-line fallback)
+    // fallback (ShapeBuilder.cpp:988-1028 getGeom straight-line fallback).
+    // Each hop is Douglas-Peucker-simplified before appending (the
+    // reference simplifies the output shape at ShapeBuilder.cpp:1126);
+    // per-hop DP keeps the stop anchors exact — hop endpoints survive DP.
     val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     def append(p: (Double, Double)): Unit =
       if (pts.isEmpty || math.abs(pts.last._1 - p._1) > 1e-12 ||
@@ -380,23 +383,31 @@ object MatcherKernel {
       val h = res.hops(hop)
       val fromCand = layers(hop)(res.bestCands(hop))
       val toCand = layers(hop + 1)(res.bestCands(hop + 1))
-      append((fromCand.pLat, fromCand.pLon))
-      if (hop == 0) anchors(0) = pts.length - 1
+      val hopBuf = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      def hopAppend(p: (Double, Double)): Unit =
+        if (hopBuf.isEmpty || math.abs(hopBuf.last._1 - p._1) > 1e-12 ||
+            math.abs(hopBuf.last._2 - p._2) > 1e-12) hopBuf += p
+      hopAppend((fromCand.pLat, fromCand.pLon))
       if (h.reachable && h.edges.nonEmpty) {
         if (h.edges.length == 1) {
           Geo.subPolyline(g.dirGeom(h.edges(0)), h.progrStart, h.progrEnd)
-            .foreach(append)
+            .foreach(hopAppend)
         } else {
-          Geo.subPolyline(g.dirGeom(h.edges.head), h.progrStart, 1.0).foreach(append)
+          Geo.subPolyline(g.dirGeom(h.edges.head), h.progrStart, 1.0).foreach(hopAppend)
           var m = 1
           while (m < h.edges.length - 1) {
-            g.dirGeom(h.edges(m)).foreach(append)
+            g.dirGeom(h.edges(m)).foreach(hopAppend)
             m += 1
           }
-          Geo.subPolyline(g.dirGeom(h.edges.last), 0.0, h.progrEnd).foreach(append)
+          Geo.subPolyline(g.dirGeom(h.edges.last), 0.0, h.progrEnd).foreach(hopAppend)
         }
       }
-      append((toCand.pLat, toCand.pLon))
+      hopAppend((toCand.pLat, toCand.pLon))
+      val simplified =
+        if (cfg.simplifyEpsM > 0) Geo.simplify(hopBuf.toArray, cfg.simplifyEpsM)
+        else hopBuf.toArray
+      simplified.foreach(append)
+      if (hop == 0) anchors(0) = 0
       anchors(hop + 1) = pts.length - 1
       hop += 1
     }

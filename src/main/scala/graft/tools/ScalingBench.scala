@@ -5,7 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Two-parallelism scaling evidence (BASELINE.json north rule): run the
   * identical match+overlay pipeline at local[N] and local[4N] on the same
   * input, report throughput at both plus scaling efficiency
-  * (T_N / T_4N) / 4. Writes BENCH/BASELINE.md. */
+  * (T_N / T_4N) / 4. Writes BENCH/BASELINE.md.
+  *
+  * Methodology (r1's was rejected as unusable — superlinear kernel number,
+  * job number buried in fixed overhead):
+  *  - the world is sized so the measured stages run >= 60 s at local[N],
+  *    amortizing Spark's fixed stage overhead;
+  *  - N and 4N runs are INTERLEAVED (rep 1: N, 4N; rep 2: N, 4N; ...) so
+  *    host-level drift (CPU steal bursts) cannot bias one level;
+  *  - one full-size warm-up run precedes measurement (same JVM: JIT stays
+  *    hot across Spark sessions); caches (Spark + hop memo) are cleared
+  *    before every measured run;
+  *  - best-of-reps per level (bursty steal makes the minimum the
+  *    uncontended measurement);
+  *  - an efficiency above 1.05 is reported as a HARNESS FAILURE, not a
+  *    result — superlinear scaling from 4x cores is physically implausible.
+  */
 object ScalingBench {
   def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -21,9 +36,34 @@ object ScalingBench {
     s
   }
 
-  /** Kernel-only scaling: run every distinct sequence solve through a
-    * fixed thread pool at n and 4n threads (cold hop memo each time). */
-  def kernelScaling(n: Int): (Double, Double, Int) = {
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  /** One measured pipeline run: cold caches, warm JIT. Returns
+    * (stageSec, trips) where stage = cands_join + viterbi_match +
+    * tile_overlay (the stages that grow with data volume). */
+  def jobStage(spark: SparkSession, rows: Int, cols: Int, tpr: Int): (Double, Long) = {
+    spark.catalog.clearCache()
+    graft.router.HopCache.clear()
+    System.gc()
+    val gc0 = gcMillis()
+    val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
+    val m = st.phases.toMap
+    val stage = m("cands_join") + m("viterbi_match") + m("tile_overlay")
+    println(st.phases.map { case (k, v) => f"$k=$v%.2f" }
+      .mkString(s"[phases cores=${spark.sparkContext.defaultParallelism}] ", " ", "") +
+      s" gc_ms=${gcMillis() - gc0}")
+    (stage, st.rows)
+  }
+
+  /** Kernel-only scaling: the same distinct-sequence solves through fixed
+    * thread pools at n and 4n threads, interleaved, cold hop memo each run.
+    * Also reports per-solve CPU time at each level — if those differ the
+    * measurement is a JIT/memo artifact, not scaling. */
+  def kernelScaling(n: Int, reps: Int): (Double, Double, Int, Double, Double) = {
     val spark = session(8)
     val (graph, candMap, seqs) = try {
       import spark.implicits._
@@ -35,7 +75,8 @@ object ScalingBench {
       val gt = graft.osm.GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
       val graph = graft.router.CompactGraph.fromEdges(gt.edges, gt.restrictions,
         gt.wayLines, gt.transitLines)
-      val cands = graft.router.Matcher.buildCands(spark, t.stops, gt.edges, cfg)
+      val cands = graft.router.Matcher.buildCandsWithStations(
+        spark, t.stops, gt.edges, gt.stations, cfg)
       val candMap = cands.select($"stop_id", $"edge_id", $"progr", $"pen10",
           $"py", $"px", $"oneway").collect()
         .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3),
@@ -48,8 +89,11 @@ object ScalingBench {
       (graph, candMap, seqs)
     } finally spark.stop()
     val cfg = graft.osm.OsmConfig.bus
-    def runPool(par: Int): Double = {
+
+    /** returns (wallSec, solveCpuSec) */
+    def runPool(par: Int): (Double, Double) = {
       graft.router.HopCache.clear()
+      val cpu0 = graft.router.MatcherKernel.KernelNanos.sum()
       val t0 = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
       seqs.foreach { case (k, ln, st) =>
@@ -57,103 +101,100 @@ object ScalingBench {
           graft.router.MatcherKernel.solveOne(k, ln, st.toArray, graph, candMap, cfg); () } })
       }
       pool.shutdown()
-      pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
-      (System.nanoTime() - t0) / 1e9
+      pool.awaitTermination(1200, java.util.concurrent.TimeUnit.SECONDS)
+      ((System.nanoTime() - t0) / 1e9,
+        (graft.router.MatcherKernel.KernelNanos.sum() - cpu0) / 1e9)
     }
-    runPool(4 * n) // warm JIT
-    val times = (1 to 3).map(_ => (runPool(n), runPool(4 * n)))
-    (times.map(_._1).min, times.map(_._2).min, seqs.length)
+    // JIT warm at both thread shapes
+    runPool(n); runPool(4 * n)
+    val pairs = (1 to reps).map { i =>
+      val (an, acn) = runPool(n)
+      val (a4, ac4) = runPool(4 * n)
+      println(f"[kernel rep $i] t_n=$an%.2f (cpu $acn%.1f) t_4n=$a4%.2f (cpu $ac4%.1f)")
+      (an, a4, acn, ac4)
+    }
+    (pairs.map(_._1).min, pairs.map(_._2).min, seqs.length,
+      pairs.map(_._3).min, pairs.map(_._4).min)
   }
 
-  def gcMillis(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
-      .map(_.getCollectionTime).sum
-  }
+  def validity(eff: Double): String =
+    if (eff > 1.05) "HARNESS FAILURE: superlinear (> 1.05) — measurement artifact"
+    else if (eff >= 0.8) "meets target (>= 0.8)"
+    else "below target (< 0.8)"
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val rows = 96; val cols = 192; val tpr = 200
+    val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "64").toInt
+    val cols = sys.env.getOrElse("SPARK_GRAFT_COLS", "128").toInt
+    val tpr = sys.env.getOrElse("SPARK_GRAFT_TPR", "400").toInt
 
-    def run(cores: Int): (Double, Long) = {
-      val spark = session(cores)
+    // ---- job level: interleaved sessions, same JVM (JIT stays warm) ----
+    val samples = scala.collection.mutable.Map(n -> Vector.empty[Double],
+      4 * n -> Vector.empty[Double])
+    var trips = 0L
+    var warmed = false
+    for (rep <- 1 to reps; par <- Seq(n, 4 * n)) {
+      val spark = session(par)
       try {
-        // warm-up: one FULL-size run so JIT reaches steady state for the
-        // kernel at this thread count (cold-JIT runs measured 10x slower)
-        graft.Bench.runPipeline(spark, 8, 12, 2)
-        spark.catalog.clearCache()
-        graft.Bench.runPipeline(spark, rows, cols, tpr)
-        val runs = (1 to reps).map { _ =>
-          // each rep must redo the work: the CacheManager would otherwise
-          // serve rep 2+ from rep 1's cache and we'd measure pure overhead;
-          // same for the hop memo (both levels must start cold)
-          spark.catalog.clearCache()
-          graft.router.HopCache.clear()
-          System.gc()
-          val gc0 = gcMillis()
-          val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
-          println(s"[phases cores=$cores] " + st.phases.map { case (k, v) =>
-            f"$k=$v%.2f" }.mkString(" ") + s" gc_ms=${gcMillis() - gc0}")
-          (st.phases.toMap, st.rows)
-        }
-        // per-phase MIN across reps: this host shows bursty CPU steal +
-        // GC pauses landing in random phases; the minimum is the
-        // uncontended measurement (standard best-of-N practice)
-        def best(k: String): Double = runs.map(_._1(k)).min
-        (best("cands_join") + best("viterbi_match") + best("tile_overlay"), runs.head._2)
+        graft.Bench.runPipeline(spark, 8, 12, 2) // small warm at this shape
+        if (!warmed) { jobStage(spark, rows, cols, tpr); warmed = true } // JIT steady state
+        val (t, tr) = jobStage(spark, rows, cols, tpr)
+        trips = tr
+        samples(par) :+= t
+        println(f"[job rep $rep] local[$par] stage=$t%.2f s")
       } finally spark.stop()
     }
-
-    val (tN, trips) = run(n)
-    val (t4N, _) = run(4 * n)
+    val tN = samples(n).min; val t4N = samples(4 * n).min
     val thrN = trips / tN; val thr4N = trips / t4N
     val eff = (tN / t4N) / 4.0
 
-    // kernel-stage scaling, measured in-process (no Spark scheduling):
-    // same solves through the same kernel at n vs 4n threads
-    val (kN, k4N, nSolves) = kernelScaling(n)
+    // ---- kernel level (in-process, no Spark scheduling) ----
+    val (kN, k4N, nSolves, cpuN, cpu4N) = kernelScaling(n, reps)
     val kEff = (kN / k4N) / 4.0
+    val cpuRatio = if (cpuN > 0) cpu4N / cpuN else Double.NaN
 
     val md =
       s"""# BENCH/BASELINE — two-parallelism scaling evidence
          |
          |North rule: identical job at N and 4N parallelism on the SAME input;
-         |sandbox proxy for executors = local[$n] vs local[${4 * n}] cores
-         |(BASELINE.md). Best-of-$reps per phase (this host shows bursty CPU
-         |steal; the minimum is the uncontended measurement).
+         |sandbox proxy for executors = local[$n] vs local[${4 * n}] cores.
+         |Methodology: interleaved N/4N reps (steal bursts cannot bias one
+         |level), one full-size JIT warm-up before measurement, caches cold
+         |per run, best-of-$reps per level. Efficiency > 1.05 is reported as
+         |a harness failure, never as a result.
          |
-         |## Full job (candidate join + Viterbi match + tile overlay)
+         |## Full job (station-aware candidate join + Viterbi match + tile overlay)
          |
          || parallelism | stage time (s) | throughput (trips/s) |
          ||---|---|---|
          || local[$n] | ${f"$tN%.2f"} | ${f"$thrN%.1f"} |
          || local[${4 * n}] | ${f"$t4N%.2f"} | ${f"$thr4N%.1f"} |
          |
-         |Job-level scaling efficiency (T_N / T_4N) / 4 = ${f"$eff%.3f"}
+         |**Job-level scaling efficiency (T_N / T_4N) / 4 = ${f"$eff%.3f"}**
+         |— ${validity(eff)}
          |
-         |## Matching kernel (the compute stage; in-process, no Spark
-         |## scheduling overhead — what dominates at production scale)
+         |## Matching kernel (in-process thread pools, no Spark scheduling)
          |
-         || threads | time (s) | solves/s |
-         ||---|---|---|
-         || $n | ${f"$kN%.2f"} | ${f"${nSolves / kN}%.1f"} |
-         || ${4 * n} | ${f"$k4N%.2f"} | ${f"${nSolves / k4N}%.1f"} |
+         || threads | wall (s) | solves/s | solve CPU (s) |
+         ||---|---|---|---|
+         || $n | ${f"$kN%.2f"} | ${f"${nSolves / kN}%.1f"} | ${f"$cpuN%.1f"} |
+         || ${4 * n} | ${f"$k4N%.2f"} | ${f"${nSolves / k4N}%.1f"} | ${f"$cpu4N%.1f"} |
          |
          |**Kernel scaling efficiency (T_N / T_4N) / 4 = ${f"$kEff%.3f"}**
-         |(target >= 0.8)
+         |— ${validity(kEff)}. Per-solve CPU ratio 4N/N = ${f"$cpuRatio%.2f"}
+         |(a ratio far from 1.0 would mean the wall-clock diff is a JIT/memo
+         |artifact, not scaling).
          |
          |Input: deterministic synthetic world rows=$rows cols=$cols
-         |tripsPerRoute=$tpr (${trips} matched trips; kernel stage: $nSolves
-         |distinct sequence solves on the 48x96 world), seed 42. At toy scale
-         |the job-level number is dominated by fixed Spark stage overheads
-         |(~10 s regardless of parallelism); the kernel number reflects the
-         |component that grows with data volume.
+         |tripsPerRoute=$tpr ($trips matched trips; kernel stage: $nSolves
+         |distinct sequence solves on the 48x96/tpr=900 world), seed 42.
          |""".stripMargin
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md)
     println(md)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","t_n":$tN%.2f,"t_4n":$t4N%.2f,"kernel_eff":$kEff%.3f,"kernel_t_n":$kN%.2f,"kernel_t_4n":$k4N%.2f,"n":$n}""")
+    val valid = eff <= 1.05 && kEff <= 1.05
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","valid":$valid,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"kernel_eff":$kEff%.3f,"kernel_t_n":$kN%.2f,"kernel_t_4n":$k4N%.2f,"kernel_cpu_ratio":$cpuRatio%.2f,"n":$n,"trips":$trips}""")
   }
 }
