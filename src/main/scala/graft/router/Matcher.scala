@@ -258,16 +258,29 @@ object Matcher {
         $"py", $"px", $"oneway")).as("cands"))
 
     // left join: a sequence whose stops ALL lack candidates must still be
-    // solved (null-candidate fallback), not silently dropped
+    // solved (null-candidate fallback), not silently dropped.
+    // Cluster = (line identity, first stop): the reference's RoutingAttrs
+    // clustering (A2) refined by the trie-forest split (one trie per first
+    // stop) — finer keys give better task parallelism at zero sharing loss,
+    // and the trie solver shares prefix work WITHIN each cluster (A3).
     distinctSeqs.join(seqCands, Seq("seq_key"), "left_outer")
       .as[(String, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]
-      .map { case (seqKey, lineName, stopsSorted, candRows) =>
+      .groupByKey { case (_, line, stops, _) =>
+        (if (line == null) "" else line,
+          if (stops.isEmpty) "" else stops.head.stop_id)
+      }
+      .flatMapGroups { (key: (String, String),
+                        it: Iterator[(String, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]) =>
+        val line = key._1
+        val rows = it.toArray
         val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
-          candRows.getOrElse(Nil).groupBy(_.stop_id).map { case (k, v) =>
-            k -> v.map(c => (c.edge_id, c.progr, c.pen10, c.py, c.px, c.oneway)).toArray
-          }
-        MatcherKernel.solveOne(seqKey, lineName, stopsSorted.toArray, bcGraph.value,
-          candMap, cfgB.value)
+          rows.iterator.flatMap(_._4.getOrElse(Nil)).toArray.distinct
+            .groupBy(_.stop_id).map { case (k, v) =>
+              k -> v.map(c => (c.edge_id, c.progr, c.pen10, c.py, c.px, c.oneway))
+            }
+        MatcherKernel.solveCluster(line,
+          rows.map(r => (r._1, r._3.toArray)), bcGraph.value, candMap,
+          cfgB.value).iterator
       }.toDF()
   }
 }
@@ -298,46 +311,32 @@ object MatcherKernel {
                candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
                cfg: OsmConfig): SolvedSeq = solveOne(seqKey, "", stops, g, candMap, cfg)
 
-  private def solveOneImpl(seqKey: String, lineName: String,
-               stops: Array[Matcher.TS],
-               g: CompactGraph,
-               candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
-               cfg: OsmConfig): SolvedSeq = {
-    // candidate groups per layer, expanded to directed edges
-    val layers: Array[Array[Cand]] = stops.map { st =>
-      val (stopId, sLat, sLng) = (st.stop_id, st.lat, st.lng)
-      val raw = candMap.getOrElse(stopId, Array.empty)
-      val cs = raw.flatMap { case (eid, progr, pen, pLat, pLon, _) =>
-        val idxO = g.edgeIndex.get(eid)
-        if (idxO == null) Nil
-        else {
-          // both directions are candidates — wrong-way travel on a oneway
-          // edge is penalized via the per-direction cost (writeOneWayPens),
-          // no longer structurally excluded
-          val i = idxO.intValue()
-          Seq(Cand(2 * i, progr, pen, pLat, pLon),
-              Cand(2 * i + 1, 1.0 - progr, pen, pLat, pLon))
-        }
+  /** one stop's candidate group, expanded to directed edges; the null
+    * placeholder when no snap exists (ShapeBuilder.cpp:171-173) */
+  def expandLayer(g: CompactGraph,
+                  candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
+                  stopId: String, sLat: Double, sLng: Double): Array[Cand] = {
+    val raw = candMap.getOrElse(stopId, Array.empty)
+    val cs = raw.flatMap { case (eid, progr, pen, pLat, pLon, _) =>
+      val idxO = g.edgeIndex.get(eid)
+      if (idxO == null) Nil
+      else {
+        // both directions are candidates — wrong-way travel on a oneway
+        // edge is penalized via the per-direction cost (writeOneWayPens),
+        // no longer structurally excluded
+        val i = idxO.intValue()
+        Seq(Cand(2 * i, progr, pen, pLat, pLon),
+            Cand(2 * i + 1, 1.0 - progr, pen, pLat, pLon))
       }
-      if (cs.isEmpty) Array(Cand(-1, 0.0, NullCandPen10, sLat, sLng)) else cs
     }
-    // W1: scheduled seconds between consecutive stops (min 1)
-    val schedSec = (0 until stops.length - 1).map { i =>
-      math.max(1, stops(i + 1).arr_s - stops(i).dep_s).toDouble
-    }.toArray
-    // straight-line stop-to-stop meters (getTransDists,
-    // ShapeBuilder.cpp:760-775): floors the hop cutoff at dist/vmax and
-    // feeds the distdiff transition model
-    val hopDistM = (0 until stops.length - 1).map { i =>
-      Geo.haversineM(stops(i).lat, stops(i).lng, stops(i + 1).lat, stops(i + 1).lng)
-    }.toArray
+    if (cs.isEmpty) Array(Cand(-1, 0.0, NullCandPen10, sLat, sLng)) else cs
+  }
 
+  /** per-cluster routing knobs: turn-penalty oracle with line-similarity
+    * cost shaping (G2/U6, Weights.cpp:65-155), cutoff widening, memo ctx */
+  def relaxParams(g: CompactGraph, cfg: OsmConfig, lineName: String): Viterbi.RelaxParams = {
     val fullTurnPen10 = Geo.costToInt(cfg.fullTurnPenaltySec)
     val hasRestr = g.hasRestrictions
-    // G2 line-unmatched cost shaping (Weights.cpp:65-155 / U6): edges whose
-    // transit lines do not include a line similar to the trip's pay a
-    // surcharge proportional to their cost; no-line edges likewise when the
-    // graph carries line data (writeNoLinePens analog)
     val shapeLines = lineName != null && lineName.nonEmpty &&
       g.edgeLines.exists(_.nonEmpty)
     val unmatchedExtra10: Array[Long] =
@@ -355,10 +354,8 @@ object MatcherKernel {
         if (unmatchedExtra10 == null) base else base + unmatchedExtra10(toDir >> 1)
       }
     }
-
-    val res = Viterbi.solve(g, layers, schedSec, turnPen,
+    Viterbi.RelaxParams(turnPen,
       vmaxMs = cfg.levelSpeedsKmh.max / 3.6,
-      hopDistM = hopDistM,
       transitionPenalty = cfg.transitionPenalty,
       transModel = cfg.transWeightModel,
       // the reference widens maxCost by its line-punish factors
@@ -366,12 +363,77 @@ object MatcherKernel {
       // by at most lineUnmatchedPenaltyFactor
       cutoffFactor = if (shapeLines) 1.0 + cfg.lineUnmatchedPenaltyFactor else 1.0,
       cacheCtx = HopCache.mixCtx(g.token, cfg.fingerprint, lineName))
+  }
 
-    // materialize geometry: per hop either the routed polyline or a straight
-    // fallback (ShapeBuilder.cpp:988-1028 getGeom straight-line fallback).
-    // Each hop is Douglas-Peucker-simplified before appending (the
-    // reference simplifies the output shape at ShapeBuilder.cpp:1126);
-    // per-hop DP keeps the stop anchors exact — hop endpoints survive DP.
+  /** Solve a whole cluster (same line, same first stop) through the
+    * prefix-sharing trip trie — shared prefixes relax once; trips landing
+    * on the same leaf share geometry (A3/G4/W4). */
+  def solveCluster(lineName: String, seqs: Array[(String, Array[Matcher.TS])],
+                   g: CompactGraph,
+                   candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
+                   cfg: OsmConfig): Array[SolvedSeq] = {
+    val t0 = System.nanoTime()
+    try {
+      val (single, multi) = seqs.partition(_._2.length < 2)
+      val singles = single.map { case (k, stops) =>
+        solveOneImpl(k, lineName, stops, g, candMap, cfg)
+      }
+      val p = relaxParams(g, cfg, lineName)
+      val solved = TrieSolver.buildForest(multi).flatMap { trie =>
+        TrieSolver.solveTrie(g, trie,
+          nd => expandLayer(g, candMap, nd.stopId, nd.lat, nd.lng), p)
+          .flatMap { lr =>
+            val (ptsArr, anchors, hopRows, unroutable) =
+              materialize(g, cfg, lr.layers, lr.res)
+            lr.seqKeys.map(k => SolvedSeq(k, ptsArr, anchors, hopRows,
+              lr.res.hops.length, unroutable, lr.res.totalCost10))
+          }
+      }
+      singles ++ solved
+    } finally {
+      KernelNanos.add(System.nanoTime() - t0)
+      KernelSolves.add(seqs.length)
+    }
+  }
+
+  private def solveOneImpl(seqKey: String, lineName: String,
+               stops: Array[Matcher.TS],
+               g: CompactGraph,
+               candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
+               cfg: OsmConfig): SolvedSeq = {
+    // candidate groups per layer, expanded to directed edges
+    val layers: Array[Array[Cand]] =
+      stops.map(st => expandLayer(g, candMap, st.stop_id, st.lat, st.lng))
+    // W1: scheduled seconds between consecutive stops (min 1)
+    val schedSec = (0 until stops.length - 1).map { i =>
+      math.max(1, stops(i + 1).arr_s - stops(i).dep_s).toDouble
+    }.toArray
+    // straight-line stop-to-stop meters (getTransDists,
+    // ShapeBuilder.cpp:760-775): floors the hop cutoff at dist/vmax and
+    // feeds the distdiff transition model
+    val hopDistM = (0 until stops.length - 1).map { i =>
+      Geo.haversineM(stops(i).lat, stops(i).lng, stops(i + 1).lat, stops(i + 1).lng)
+    }.toArray
+
+    val p = relaxParams(g, cfg, lineName)
+    val res = Viterbi.solve(g, layers, schedSec, p.turnPen10,
+      vmaxMs = p.vmaxMs, hopDistM = hopDistM,
+      transitionPenalty = p.transitionPenalty, transModel = p.transModel,
+      cutoffFactor = p.cutoffFactor, cacheCtx = p.cacheCtx)
+
+    val (ptsArr, anchors, hopRows, unroutable) = materialize(g, cfg, layers, res)
+    SolvedSeq(seqKey, ptsArr, anchors, hopRows,
+      res.hops.length, unroutable, res.totalCost10)
+  }
+
+  /** materialize geometry: per hop either the routed polyline or a straight
+    * fallback (ShapeBuilder.cpp:988-1028 getGeom straight-line fallback).
+    * Each hop is Douglas-Peucker-simplified before appending (the
+    * reference simplifies the output shape at ShapeBuilder.cpp:1126);
+    * per-hop DP keeps the stop anchors exact — hop endpoints survive DP. */
+  def materialize(g: CompactGraph, cfg: OsmConfig,
+                  layers: Array[Array[Cand]], res: SolveResult):
+      (Array[ShapePoint], Array[Int], Array[Matcher.HopRow], Int) = {
     val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     def append(p: (Double, Double)): Unit =
       if (pts.isEmpty || math.abs(pts.last._1 - p._1) > 1e-12 ||
@@ -419,9 +481,7 @@ object MatcherKernel {
     val hopRows = res.hops.zipWithIndex.map { case (h, i) =>
       Matcher.HopRow(i, h.edges.map(de => g.edgeIds(de >> 1)), h.reachable)
     }
-    SolvedSeq(seqKey,
-      pts.zipWithIndex.map { case ((la, lo), i) => ShapePoint(i, la, lo) }.toArray,
-      anchors, hopRows,
-      res.hops.length, unroutable, res.totalCost10)
+    (pts.zipWithIndex.map { case ((la, lo), i) => ShapePoint(i, la, lo) }.toArray,
+      anchors, hopRows, unroutable)
   }
 }

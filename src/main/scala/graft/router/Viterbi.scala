@@ -62,68 +62,47 @@ object Viterbi {
         math.round(transitionPen * hop10)
     }
 
-  /** Solve one trip/cluster.
-    * @param cands candidate group per stop layer (each non-empty; may hold
-    *              the null candidate)
-    * @param schedSec scheduled seconds between consecutive stops (n-1)
-    * @param turnPen10 transition penalty oracle (-1 = forbidden)
-    * @param hopDistM straight-line stop-to-stop meters per hop (optional;
-    *        enables the reference's min-time cutoff bound and distdiff)
-    * @param cutoffFactor widens the hop cutoff (the reference multiplies
-    *        maxCost by its line-punish factors, Weights.cpp:192-195)
-    * @param cacheCtx graph+config+line identity folded into hop-memo keys
-    */
-  def solve(g: CompactGraph, cands: Array[Array[Cand]], schedSec: Array[Double],
-            turnPen10: (Int, Int) => Long,
-            vmaxMs: Double = 85.0 / 3.6,
-            hopDistM: Array[Double] = null,
-            transitionPenalty: Double = 1.0,
-            transModel: String = "expo",
-            cutoffFactor: Double = 1.0,
-            cacheCtx: Long = 0L): SolveResult = {
-    val nLayers = cands.length
-    require(nLayers >= 1 && schedSec.length == nLayers - 1)
+  /** The per-layer knobs shared by the linear solve and the trie solve. */
+  final case class RelaxParams(turnPen10: (Int, Int) => Long,
+                               vmaxMs: Double = 85.0 / 3.6,
+                               transitionPenalty: Double = 1.0,
+                               transModel: String = "expo",
+                               cutoffFactor: Double = 1.0,
+                               cacheCtx: Long = 0L)
+
+  /** Relax ONE from->to layer pair in place (hop matrix + doubling +
+    * fallback ladder): costTo/predTo/pathTo are updated for every to-cand
+    * whose best predecessor improved. The reusable core of both the linear
+    * chain solve and the trip-trie DAG solve. */
+  def relaxLayer(g: CompactGraph, ws: RouterWorkspace,
+                 from: Array[Cand], to: Array[Cand],
+                 costFr: Array[Long], costTo: Array[Long],
+                 predTo: Array[Int], pathTo: Array[Array[Int]],
+                 schedSecHop: Double, hopDistHopM: Double,
+                 p: RelaxParams): Unit = {
     val Inf = Dijkstra.Inf
-    val ws = WorkspacePool.get(2 * g.numEdges)
-    val needDist = transModel == "distdiff"
+    val needDist = p.transModel == "distdiff"
 
-    // cost/pred lattice (CostsDAG/PredeDAG, Router.h:38-40)
-    val cost = Array.tabulate(nLayers)(l => Array.fill[Long](cands(l).length)(Inf))
-    val pred = Array.tabulate(nLayers)(l => Array.fill[Int](cands(l).length)(-1))
-    // best directed-edge path INTO each (layer, cand) — only the current
-    // winner is kept (a keyed map of every (fr,to) path churned ~MBs/solve)
-    val bestPath = Array.tabulate(nLayers)(l => new Array[Array[Int]](cands(l).length))
-
-    var c0 = 0
-    while (c0 < cands(0).length) {
-      cost(0)(c0) = cands(0)(c0).pen10
-      c0 += 1
-    }
-
-    var layer = 0
-    while (layer < nLayers - 1) {
-      val from = cands(layer); val to = cands(layer + 1)
-
-      // hop time: scheduled, floored by straight-line dist / fastest source
-      // component speed (Router.tpp:57-72 maxSpeed + minTime)
-      val hopTime = {
-        var t = schedSec(layer)
-        if (hopDistM != null) {
-          var maxV = 0.0
-          var fi = 0
-          while (fi < from.length) {
-            if (from(fi).dirEdge >= 0) {
-              val v = g.compMaxSpeed(g.compOfDir(from(fi).dirEdge))
-              if (v > maxV) maxV = v
-            }
-            fi += 1
+    // hop time: scheduled, floored by straight-line dist / fastest source
+    // component speed (Router.tpp:57-72 maxSpeed + minTime)
+    val hopTime = {
+      var t = schedSecHop
+      if (hopDistHopM > 0) {
+        var maxV = 0.0
+        var fi = 0
+        while (fi < from.length) {
+          if (from(fi).dirEdge >= 0) {
+            val v = g.compMaxSpeed(g.compOfDir(from(fi).dirEdge))
+            if (v > maxV) maxV = v
           }
-          if (maxV > 0 && hopDistM(layer) / maxV > t) t = hopDistM(layer) / maxV
+          fi += 1
         }
-        t
+        if (maxV > 0 && hopDistHopM / maxV > t) t = hopDistHopM / maxV
       }
-      val baseCutoff =
-        if (needDist) Inf / 2 else maxHopCost10(hopTime, cutoffFactor)
+      t
+    }
+    val baseCutoff =
+      if (needDist) Inf / 2 else maxHopCost10(hopTime, p.cutoffFactor)
 
       // A* heuristic (reference Weights.cpp:15-62): centroid of the target
       // candidates + the max centroid->target distance keeps it admissible
@@ -152,7 +131,7 @@ object Viterbi {
           ti1 += 1
         }
         val cLat = ctLat; val cLon = ctLon; val mcd = maxCentD
-        val vm = math.min(vmax, vmaxMs)
+        val vm = math.min(vmax, p.vmaxMs)
         (de: Int) => {
           val d = Geo.approxDistM(g.dirToLat(de), g.dirToLon(de), cLat, cLon) - mcd
           if (d <= 0) 0L else (d / vm * 10.0).toLong
@@ -172,7 +151,7 @@ object Viterbi {
         var fr = 0
         while (fr < from.length) {
           val fc = from(fr)
-          if (cost(layer)(fr) < Inf && fc.dirEdge >= 0 && targets.nonEmpty) {
+          if (costFr(fr) < Inf && fc.dirEdge >= 0 && targets.nonEmpty) {
             // init cost: remaining part of the source edge after progr —
             // Router.tpp progression offset math, in deciseconds.
             // Dijkstra pays the FULL source edge cost, so subtract the
@@ -192,12 +171,12 @@ object Viterbi {
               // hop-cost memo (reference HopCache + cross-trie reuse):
               // the same (source cand, target set, cutoff) repeats across
               // thousands of trip patterns
-              val key = HopCache.Key(cacheCtx, fc.dirEdge,
+              val key = HopCache.Key(p.cacheCtx, fc.dirEdge,
                 math.round(fc.progr * 10000).toInt, cutoff, tHash)
               var hv = HopCache.get(key, targets)
               if (hv == null) {
                 Dijkstra.oneToMany(g, ws, fc.dirEdge, init, targets,
-                  cutoff, turnPen10, heur)
+                  cutoff, p.turnPen10, heur)
                 val costs = new Array[Long](targets.length)
                 val paths = new Array[Array[Int]](targets.length)
                 var i = 0
@@ -243,15 +222,14 @@ object Viterbi {
                     val distM =
                       if (!needDist) 0.0
                       else pathDistM(g, path, fc.progr, tc.progr)
-                    val w = transWeight10(transModel, transitionPenalty, hop,
-                      distM, schedSec(layer),
-                      if (hopDistM == null) 0.0 else hopDistM(layer))
+                    val w = transWeight10(p.transModel, p.transitionPenalty, hop,
+                      distM, schedSecHop, hopDistHopM)
                     if (w < Inf) {
-                      val total = cost(layer)(fr) + w + tc.pen10
-                      if (total < cost(layer + 1)(t2)) {
-                        cost(layer + 1)(t2) = total
-                        pred(layer + 1)(t2) = fr
-                        bestPath(layer + 1)(t2) = path
+                      val total = costFr(fr) + w + tc.pen10
+                      if (total < costTo(t2)) {
+                        costTo(t2) = total
+                        predTo(t2) = fr
+                        pathTo(t2) = path
                         found = true
                       }
                     }
@@ -272,21 +250,21 @@ object Viterbi {
       if (!found) {
         var fr = 0
         while (fr < from.length) {
-          if (cost(layer)(fr) < Inf) {
+          if (costFr(fr) < Inf) {
             var t3 = 0
             while (t3 < to.length) {
               val tc = to(t3)
               val fallback =
                 if (tc.dirEdge < 0)
                   // null candidate: far above any real path (maxCost * 100)
-                  cost(layer)(fr) + cutoff * 100
+                  costFr(fr) + cutoff * 100
                 else
                   // dummy edge to a real candidate: pen only, empty path
-                  cost(layer)(fr) + tc.pen10
-              if (fallback < cost(layer + 1)(t3)) {
-                cost(layer + 1)(t3) = fallback
-                pred(layer + 1)(t3) = fr
-                bestPath(layer + 1)(t3) = Array.empty[Int]
+                  costFr(fr) + tc.pen10
+              if (fallback < costTo(t3)) {
+                costTo(t3) = fallback
+                predTo(t3) = fr
+                pathTo(t3) = Array.empty[Int]
               }
               t3 += 1
             }
@@ -294,6 +272,52 @@ object Viterbi {
           fr += 1
         }
       }
+  }
+
+  /** Solve one linear trip (chain of stop layers).
+    * @param cands candidate group per stop layer (each non-empty; may hold
+    *              the null candidate)
+    * @param schedSec scheduled seconds between consecutive stops (n-1)
+    * @param turnPen10 transition penalty oracle (-1 = forbidden)
+    * @param hopDistM straight-line stop-to-stop meters per hop (optional;
+    *        enables the reference's min-time cutoff bound and distdiff)
+    * @param cutoffFactor widens the hop cutoff (the reference multiplies
+    *        maxCost by its line-punish factors, Weights.cpp:192-195)
+    * @param cacheCtx graph+config+line identity folded into hop-memo keys
+    */
+  def solve(g: CompactGraph, cands: Array[Array[Cand]], schedSec: Array[Double],
+            turnPen10: (Int, Int) => Long,
+            vmaxMs: Double = 85.0 / 3.6,
+            hopDistM: Array[Double] = null,
+            transitionPenalty: Double = 1.0,
+            transModel: String = "expo",
+            cutoffFactor: Double = 1.0,
+            cacheCtx: Long = 0L): SolveResult = {
+    val nLayers = cands.length
+    require(nLayers >= 1 && schedSec.length == nLayers - 1)
+    val Inf = Dijkstra.Inf
+    val ws = WorkspacePool.get(2 * g.numEdges)
+    val p = RelaxParams(turnPen10, vmaxMs, transitionPenalty, transModel,
+      cutoffFactor, cacheCtx)
+
+    // cost/pred lattice (CostsDAG/PredeDAG, Router.h:38-40)
+    val cost = Array.tabulate(nLayers)(l => Array.fill[Long](cands(l).length)(Inf))
+    val pred = Array.tabulate(nLayers)(l => Array.fill[Int](cands(l).length)(-1))
+    // best directed-edge path INTO each (layer, cand) — only the current
+    // winner is kept (a keyed map of every (fr,to) path churned ~MBs/solve)
+    val bestPath = Array.tabulate(nLayers)(l => new Array[Array[Int]](cands(l).length))
+
+    var c0 = 0
+    while (c0 < cands(0).length) {
+      cost(0)(c0) = cands(0)(c0).pen10
+      c0 += 1
+    }
+
+    var layer = 0
+    while (layer < nLayers - 1) {
+      relaxLayer(g, ws, cands(layer), cands(layer + 1),
+        cost(layer), cost(layer + 1), pred(layer + 1), bestPath(layer + 1),
+        schedSec(layer), if (hopDistM == null) 0.0 else hopDistM(layer), p)
       layer += 1
     }
 
