@@ -38,7 +38,8 @@ object Bench {
     }
     phases += ("graph_build" -> tGraph)
 
-    val (graph, tCollect) = timed(CompactGraph.fromEdges(gt.edges, gt.restrictions))
+    val (graph, tCollect) = timed(CompactGraph.fromEdges(gt.edges, gt.restrictions,
+      gt.wayLines, gt.transitLines, gt.turnCycles))
     phases += ("graph_collect" -> tCollect)
 
     val (cands, tCands) = timed {
@@ -111,7 +112,8 @@ object Bench {
     val solves = graft.router.MatcherKernel.KernelSolves.sum()
     val hcHits = graft.router.HopCache.Hits.sum()
     val hcMiss = graft.router.HopCache.Misses.sum()
-    println(f"""{"metric":"match_throughput_trips_per_sec","value":$throughput%.2f,"unit":"rows/sec","total_sec":$total%.2f,"matched_trips":${stats.rows},"tiles":${stats.tiles},"dijkstra_iters":$iters,"kernel_solves":$solves,"hopcache_hits":$hcHits,"hopcache_misses":$hcMiss,"queries":$qs,"sf":"$sfDir"}""")
+    val kernelSec = graft.router.MatcherKernel.KernelNanos.sum() / 1e9
+    println(f"""{"metric":"match_throughput_trips_per_sec","value":$throughput%.2f,"unit":"rows/sec","total_sec":$total%.2f,"matched_trips":${stats.rows},"tiles":${stats.tiles},"dijkstra_iters":$iters,"kernel_solves":$solves,"kernel_cpu_sec":$kernelSec%.2f,"hopcache_hits":$hcHits,"hopcache_misses":$hcMiss,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,10 @@ import graft.model._
   * type=restriction) so our filter operators have realistic input.
   */
 object SyntheticWorld {
+  /** bump when the generated world changes — flows into snapshot
+    * fingerprints so persisted checkpoints of an older fixture never serve */
+  val FixtureVersion = 2
+
   // grid origin (Freiburg-ish, the reference's home town) and spacing
   val Lat0 = 48.0
   val Lon0 = 7.8
@@ -107,15 +111,19 @@ object SyntheticWorld {
               OsmMember(colWayId(c), 1, "to")))
     }
 
-    // GTFS: stops sit ~25 m south of their station node (snap must find edge)
+    // GTFS: stops sit curbside — 10 m south of the row street and ~50 m
+    // east of the intersection (mid-block). A stop placed ON the column
+    // line would snap to the PERPENDICULAR street first (5 m vs 25 m) and
+    // legitimately drag matched paths onto it — real stops are adjacent to
+    // the street they serve.
     val stopIds = scala.collection.mutable.LinkedHashMap[(Int, Int), String]()
     val stops = scala.collection.mutable.ArrayBuffer[GtfsStop]()
     for (r <- busRows; c <- 0 until cols if c % stopEvery == 0) {
       val sid = s"S${r}_$c"
       stopIds((r, c)) = sid
       stops += GtfsStop(sid, s"Stop $r/$c",
-        latOf(r) - 25.0 / Geo.MPerDeg,
-        lonOf(c) + (rnd(seed, r, c) - 0.5) * 10.0 / Geo.MPerDeg,
+        latOf(r) - 10.0 / Geo.MPerDeg,
+        lonOf(c) + (50.0 + (rnd(seed, r, c) - 0.5) * 10.0) / Geo.MPerDeg,
         "", "", 0)
     }
 

@@ -26,12 +26,30 @@ object GraphBuilder {
 
   /** Catalyst predicate for "any rule matches tags" (F2). Expands the small
     * rule list into an OR of map lookups — plain expressions, fully
-    * codegen'd and pushdown-friendly (vs an opaque UDF). */
+    * codegen'd and pushdown-friendly (vs an opaque UDF). multiValue rules
+    * also match inside `;`-separated value lists with the reference's exact
+    * separator forms (OsmFilter.cpp:129-142 valMatches). */
   def tagMatches(tagsCol: org.apache.spark.sql.Column, rules: Seq[TagRule]): org.apache.spark.sql.Column =
     rules.map { r =>
-      if (r.value == "*") tagsCol.getItem(r.key).isNotNull
-      else tagsCol.getItem(r.key) === lit(r.value)
+      val v = tagsCol.getItem(r.key)
+      if (r.value == "*") v.isNotNull
+      else if (!r.multiValue) v === lit(r.value)
+      else v === lit(r.value) ||
+        v.contains(lit(";" + r.value)) || v.contains(lit(r.value + ";")) ||
+        v.contains(lit("; " + r.value)) || v.contains(lit(r.value + " ;"))
     }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** F5 attr-key projection (OsmBuilder.cpp:1398-1502): prune the tags map
+    * to the keys any config rule can touch (+ name) BEFORE the heavy joins
+    * — the MapType column is opaque to Catalyst's column pruning, so this
+    * manual map_filter is the pruning analog. */
+  def pruneTags(df: DataFrame, cfg: OsmConfig): DataFrame = {
+    val keys = (cfg.keepWays ++ cfg.levelRules.map(_._1) ++ cfg.onewayRules ++
+      cfg.onewayRevRules ++ cfg.twowayRules ++ cfg.stationRules ++
+      cfg.turnCycleRules ++ cfg.nohupRules).map(_.key).distinct :+ "name"
+    df.withColumn("tags",
+      map_filter(col("tags"), (k, _) => k.isInCollection(keys)))
+  }
 
   /** First-matching level classifier (F3): when/otherwise chain. */
   def levelOf(tagsCol: org.apache.spark.sql.Column, rules: Seq[(TagRule, Int)]): org.apache.spark.sql.Column =
@@ -45,24 +63,32 @@ object GraphBuilder {
     * Shrinks the broadcast graph — shape-point nodes dominate real OSM
     * ways. Pure Catalyst: degree agg + window chain labeling + groupBy.
     * Input/output schema: the edgesCost schema + `geom` array. */
-  def contractDeg2Chains(edgesCost: DataFrame): DataFrame = {
+  def contractDeg2Chains(edgesCost: DataFrame,
+                         turnCycles: DataFrame = null): DataFrame = {
     val spark = edgesCost.sparkSession
     import spark.implicits._
     // undirected node degree
     val deg = edgesCost.select($"from_id".as("node_id"))
       .unionByName(edgesCost.select($"to_id".as("node_id")))
       .groupBy($"node_id").agg(count(lit(1)).as("deg"))
-    // a chain may continue through interior node n iff deg(n) == 2
+    // a chain may continue through interior node n iff deg(n) == 2 and n is
+    // not a turn-cycle node (the reference never contracts through those,
+    // OsmBuilder.cpp:1591-1594 — the cost function needs them addressable)
     val w = Window.partitionBy($"way_id").orderBy($"pos")
-    val withBreak = edgesCost
+    val withTc =
+      if (turnCycles == null) edgesCost.withColumn("from_tc", lit(null))
+      else edgesCost.join(
+        broadcast(turnCycles.select($"node_id".as("from_id"))
+          .withColumn("from_tc", lit(1))), Seq("from_id"), "left_outer")
+    val withBreak = withTc
       .join(deg.withColumnRenamed("node_id", "from_id")
         .withColumnRenamed("deg", "from_deg"), Seq("from_id"))
       .withColumn("prev_to", lag($"to_id", 1).over(w))
       // break when this segment does not continue the previous one, or the
-      // shared node is an intersection (degree != 2)
+      // shared node is an intersection (degree != 2) or a turn cycle
       .withColumn("brk",
         when($"prev_to".isNull || $"prev_to" =!= $"from_id" ||
-          $"from_deg" =!= 2, 1).otherwise(0))
+          $"from_deg" =!= 2 || $"from_tc".isNotNull, 1).otherwise(0))
       .withColumn("chain", sum($"brk").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // order-explicit aggregation: Spark does not guarantee intra-group row
@@ -107,6 +133,7 @@ object GraphBuilder {
     val deg1 = ends.groupBy($"node_id")
       .agg(count(lit(1)).as("deg"), min($"lat").as("lat"), min($"lon").as("lon"))
       .filter($"deg" === 1)
+      .cache() // consumed by both ring-join sides
     val aSide = deg1.select($"node_id".as("a"), $"lat".as("a_lat"), $"lon".as("a_lon"),
       explode(kring(gcell($"lat", $"lon", res), 1)).as("cell"))
     val bSide = deg1.select($"node_id".as("b"), $"lat".as("b_lat"), $"lon".as("b_lon"),
@@ -168,13 +195,17 @@ object GraphBuilder {
 
   case class GraphTables(nodes: DataFrame, edges: DataFrame, stations: DataFrame,
                          restrictions: DataFrame, transitLines: DataFrame,
-                         wayLines: DataFrame)
+                         wayLines: DataFrame, turnCycles: DataFrame)
 
   /** Full graph build. Inputs are osm_nodes / osm_ways / osm_rels DataFrames
     * (FIXTURES.md §2 schemas). */
-  def build(spark: SparkSession, osmNodes: DataFrame, osmWays: DataFrame,
+  def build(spark: SparkSession, osmNodesRaw: DataFrame, osmWaysRaw: DataFrame,
             osmRels: DataFrame, bbox: BBox, cfg: OsmConfig): GraphTables = {
     import spark.implicits._
+
+    // ---- F5: tag-key projection before the heavy joins ----
+    val osmNodes = pruneTags(osmNodesRaw, cfg)
+    val osmWays = pruneTags(osmWaysRaw, cfg)
 
     // ---- F1: bbox node filter (predicate pushes to the scan) ----
     val bboxNodes = osmNodes
@@ -192,9 +223,20 @@ object GraphBuilder {
       .select($"way_id").distinct()
 
     // ---- J2: resolve node coords, consecutive pairs -> edges ----
-    val resolved = wayNodePairs
+    // nohup nodes (OsmBuilder.cpp:680-683): ways passing through get their
+    // OWN node copy, so they never interconnect there — remap the node id
+    // to a way-local synthetic id (same way keeps connectivity via pos)
+    val nohupIds = bboxNodes.filter(tagMatches($"tags", cfg.nohupRules))
+      .select($"id".as("node_id")).withColumn("nohup", lit(1))
+    val resolved0 = wayNodePairs
       .join(keptWayIds, Seq("way_id"), "left_semi")
       .join(bboxNodes.select($"id".as("node_id"), $"lat", $"lon"), Seq("node_id"))
+    val resolved =
+      (if (cfg.nohupRules.isEmpty) resolved0
+       else resolved0.join(broadcast(nohupIds), Seq("node_id"), "left_outer")
+         .withColumn("node_id", when($"nohup".isNotNull,
+           -($"way_id" * 65536L + $"pos")).otherwise($"node_id"))
+         .drop("nohup"))
     val w = Window.partitionBy($"way_id").orderBy($"pos")
     val edgesRaw = resolved
       .withColumn("to_id", lead($"node_id", 1).over(w))
@@ -202,8 +244,10 @@ object GraphBuilder {
       .withColumn("to_lon", lead($"lon", 1).over(w))
       .filter($"to_id".isNotNull)
       .withColumn("lvl", levelOf($"tags", cfg.levelRules))
+      // twoway rules override both oneway directions (OsmFilter.cpp:55-64)
       .withColumn("oneway",
-        when(tagMatches($"tags", cfg.onewayRules), lit(1))
+        when(tagMatches($"tags", cfg.twowayRules), lit(0))
+          .when(tagMatches($"tags", cfg.onewayRules), lit(1))
           .when(tagMatches($"tags", cfg.onewayRevRules), lit(2))
           .otherwise(lit(0)))
       .withColumn("len_m", haversineM($"lat", $"lon", $"to_lat", $"to_lon"))
@@ -223,13 +267,29 @@ object GraphBuilder {
     val edgesCost = edgesRaw
       .withColumn("cost10", costToIntUdf($"len_m" / speedCol))
 
+    // ---- turn-cycle nodes (F4): no turn costs there (Weights.cpp:125),
+    // and never contracted through (OsmBuilder.cpp:1591-1594) ----
+    val turnCycles = bboxNodes
+      .filter(tagMatches($"tags", cfg.turnCycleRules))
+      .select($"id".as("node_id"))
+
     // ---- G8 collapseEdges: contract deg-2 chains within each way ----
-    val contracted0 = contractDeg2Chains(edgesCost)
+    // cache: fixGaps consumes this subtree ~5x (degree agg, both ring-join
+    // sides, two endpoint-mapping joins) — uncached, every consumer would
+    // re-run the posexplode+join+window upstream
+    val contracted0 = contractDeg2Chains(edgesCost, turnCycles).cache()
 
     // ---- G8 fixGaps: 1 m endpoint merge of degree-1 nodes ----
-    val contracted = fixGaps(contracted0)
+    // cache: consumed by the chain labeling (degree agg + CC input), the
+    // cell covering, and the node derivation — the graph tables are the
+    // bounded dimension side (the reference holds them fully in RAM)
+    val contracted = fixGaps(contracted0).cache()
 
     // ---- cells: cover the edge GEOMETRY bbox at cfg.cellRes ----
+    // (G9 deg-2 chain dedup happens kernel-side on the broadcast graph —
+    // CompactGraph.chainOf — mirroring the reference's in-memory walk,
+    // ShapeBuilder.cpp:287-316; a distributed labeling here paid O(log n)
+    // join rounds per build for a property of the bounded dimension table)
     val edges = contracted.withColumn("cells",
       gcellsCover(
         expr("array_min(transform(geom, p -> p.lat))"),
@@ -280,6 +340,7 @@ object GraphBuilder {
       .select(explode($"way_ids").as("way_id"), $"line_id")
       .distinct()
 
-    GraphTables(nodes, edges, stations, restrictions, lineDim, wayLines)
+    GraphTables(nodes, edges, stations, restrictions, lineDim, wayLines,
+      turnCycles)
   }
 }

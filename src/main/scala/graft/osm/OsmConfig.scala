@@ -3,11 +3,18 @@ package graft.osm
 /** Keep/level/oneway rule config — the engine analog of the reference's
   * per-MOT OsmReadOpts built from pfaedle.cfg
   * (/root/reference/src/pfaedle/osm/OsmFilter.cpp:33-143 semantics: k=v rules,
-  * `*` wildcard value, first-matching level filter of 8 levels). Values are
-  * our own defaults, not copied from the reference config. */
-case class TagRule(key: String, value: String) { // value "*" = any
+  * `*` wildcard value, `;`-separated multi-value match, first-matching
+  * level filter of 8 levels). Values are our own defaults, not copied from
+  * the reference config. */
+case class TagRule(key: String, value: String, multiValue: Boolean = false) {
+  // value "*" = any; multiValue matches inside `;`-separated lists with the
+  // reference's exact separator forms (OsmFilter.cpp:129-142 valMatches)
   def matches(tags: Map[String, String]): Boolean =
-    tags.get(key).exists(v => value == "*" || v == value)
+    tags.get(key).exists { v =>
+      value == "*" || v == value ||
+        (multiValue && (v.contains(";" + value) || v.contains(value + ";") ||
+          v.contains("; " + value) || v.contains(value + " ;")))
+    }
 }
 
 case class OsmConfig(
@@ -17,11 +24,20 @@ case class OsmConfig(
     levelRules: Seq[(TagRule, Int)],
     /** km/h per level, used for edge cost (G8 writeGeoms+cost) */
     levelSpeedsKmh: Array[Double],
-    /** oneway predicates (F4) */
+    /** oneway predicates (F4); twoway overrides both (OsmFilter.cpp:55-64) */
     onewayRules: Seq[TagRule],
     onewayRevRules: Seq[TagRule],
+    twowayRules: Seq[TagRule] = Seq(TagRule("oneway", "no"),
+      TagRule("oneway", "false"), TagRule("oneway", "0")),
     /** station node predicate (F4) */
     stationRules: Seq[TagRule],
+    /** turn-cycle nodes: no full-turn/restriction cost there
+      * (Weights.cpp:125), never contracted through (OsmBuilder.cpp:1594) */
+    turnCycleRules: Seq[TagRule] = Seq(TagRule("junction", "roundabout"),
+      TagRule("highway", "turning_circle"), TagRule("highway", "mini_roundabout")),
+    /** nohup nodes: ways meeting there do NOT interconnect — each way gets
+      * its own node copy (OsmBuilder.cpp:680-683 multiNodes) */
+    nohupRules: Seq[TagRule] = Seq.empty,
     /** max stop->edge snap distance, meters (cfg max_snap_distance) */
     maxSnapDistanceM: Double = 300.0,
     /** grid resolution for the cell index (~2.4 km at 12, matches the

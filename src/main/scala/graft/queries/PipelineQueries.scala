@@ -34,7 +34,7 @@ object PipelineQueries {
 
   /** bump when graph/matcher semantics change — keeps persisted snapshot
     * checkpoints from serving stale stage output to a newer engine */
-  val EngineVersion = "r2-g8"
+  val EngineVersion = "r2-g9"
 
   @volatile private var cache: (SparkSession, Artifacts) = null
 
@@ -45,7 +45,8 @@ object PipelineQueries {
     val t = WorldTables(spark, world)
     val cfg = OsmConfig.bus
     val snapDir = "target/snapshots/pipeline"
-    val fp = Snapshots.fingerprint(EngineVersion, "world-8x12-seed42",
+    val fp = Snapshots.fingerprint(EngineVersion,
+      s"world-8x12-seed42-v${SyntheticWorld.FixtureVersion}",
       cfg.fingerprint.toString)
 
     // F7: trip eligibility (>=2 stop times, bus MOT, no pre-existing shape)
@@ -62,7 +63,7 @@ object PipelineQueries {
     // checkpoint #1: the routable graph
     val edges = Snapshots.stage(spark, snapDir, "graph_edges", fp)(gt.edges)
     val graph = CompactGraph.fromEdges(edges, gt.restrictions,
-      gt.wayLines, gt.transitLines)
+      gt.wayLines, gt.transitLines, gt.turnCycles)
     // checkpoint #2: station-aware snap candidates
     val cands = Snapshots.stage(spark, snapDir, "cands", fp)(
       Matcher.buildCandsWithStations(spark, t.stops, edges, gt.stations, cfg))

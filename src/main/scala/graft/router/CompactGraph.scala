@@ -31,8 +31,19 @@ class CompactGraph(
     /** wrong-way cost shaping (reference defaults: pfaedle.cfg:408-412
       * osm_one_way_speed_penalty_fac 5 / osm_one_way_entry_cost 300) */
     val oneWaySpeedPen: Double = 5.0,
-    val oneWayEntryCostSec: Double = 300.0
+    val oneWayEntryCostSec: Double = 300.0,
+    /** turn-cycle nodes (roundabouts etc.): no full-turn or restriction
+      * cost there (Weights.cpp:125 guard) */
+    turnCycleNodesIn: Array[Long] = Array.empty
 ) extends Serializable {
+
+  private val turnCycleSet: java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    turnCycleNodesIn.foreach(s.add)
+    s
+  }
+  @inline def isTurnCycleNode(nodeId: Long): Boolean =
+    !turnCycleSet.isEmpty && turnCycleSet.contains(nodeId)
 
   /** process-unique instance token (serialized with the broadcast copy) —
     * scopes HopCache entries to this graph so two graphs in one JVM never
@@ -191,6 +202,41 @@ class CompactGraph(
   }
   def compOfDir(de: Int): Int = compOfNode(dirFrom(de))
 
+  /** G9 deg-2 chain label per stored edge (ShapeBuilder.cpp:287-316):
+    * edges meeting at a degree-2, non-turn-cycle node belong to one
+    * physical street — candidate generation keeps only the best snap per
+    * chain (O1, ShapeBuilder.cpp:241-276). Union-find over the broadcast
+    * dimension, like the reference's in-memory walk. */
+  val chainOf: Array[Int] = {
+    val parent = Array.tabulate(numEdges)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }; r }
+    val degArr = new Array[Int](numNodes)
+    var i = 0
+    while (i < numEdges) {
+      degArr(edgeFromIdx(i)) += 1; degArr(edgeToIdx(i)) += 1
+      i += 1
+    }
+    val firstEdge = Array.fill(numNodes)(-1)
+    i = 0
+    while (i < numEdges) {
+      var s = 0
+      while (s < 2) {
+        val n = if (s == 0) edgeFromIdx(i) else edgeToIdx(i)
+        val nid = if (s == 0) edgeFrom(i) else edgeTo(i)
+        if (degArr(n) == 2 && !isTurnCycleNode(nid)) {
+          if (firstEdge(n) == -1) firstEdge(n) = i
+          else {
+            val a = find(i); val b = find(firstEdge(n))
+            if (a != b) parent(a) = b
+          }
+        }
+        s += 1
+      }
+      i += 1
+    }
+    Array.tabulate(numEdges)(find)
+  }
+
   @inline def dirToLat(de: Int): Double = {
     val i = de >> 1
     if ((de & 1) == 0) geomLat(i)(geomLat(i).length - 1) else geomLat(i)(0)
@@ -275,11 +321,12 @@ object CompactGraph {
 
   /** Full builder: also attaches transit line short names per edge (from
     * wayLines(way_id, line_id) x lines(line_id, short_name)) for the
-    * line-similarity cost shaping (G2/U6). */
+    * line-similarity cost shaping (G2/U6), and the turn-cycle node set. */
   def fromEdges(edges: org.apache.spark.sql.DataFrame,
                 restrictions: org.apache.spark.sql.DataFrame,
                 wayLines: org.apache.spark.sql.DataFrame,
-                lines: org.apache.spark.sql.DataFrame): CompactGraph = {
+                lines: org.apache.spark.sql.DataFrame,
+                turnCycles: org.apache.spark.sql.DataFrame = null): CompactGraph = {
     val hasGeom = edges.columns.contains("geom")
     val rows = (if (hasGeom)
       edges.select(org.apache.spark.sql.functions.col("edge_id"),
@@ -328,6 +375,10 @@ object CompactGraph {
     }
     val restr = restrictions.select("via_node", "from_way", "to_way", "positive")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, eln, restr)
+    val tcy =
+      if (turnCycles == null) Array.empty[Long]
+      else turnCycles.select("node_id").collect().map(_.getLong(0))
+    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, eln, restr,
+      turnCycleNodesIn = tcy)
   }
 }

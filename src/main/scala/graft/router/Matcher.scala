@@ -103,8 +103,8 @@ object Matcher {
       .groupBy($"stop_id", $"edge_id")
       .agg(first($"progr").as("progr"), first($"py").as("py"), first($"px").as("px"),
         first($"dist_m").as("dist_m"), first($"oneway").as("oneway"))
-    // keep top-K nearest edges per stop (the reference keeps best per
-    // deg-2 chain, ShapeBuilder.cpp:241-276; top-K is the chain-free analog)
+    // keep top-K nearest edges per stop; the best-per-deg-2-chain dedup
+    // (O1/G9) happens kernel-side against CompactGraph.chainOf
     val byStop = Window.partitionBy($"stop_id").orderBy($"dist_m", $"edge_id")
     joined.withColumn("rk", row_number().over(byStop))
       .filter($"rk" <= 8).drop("rk")
@@ -312,23 +312,35 @@ object MatcherKernel {
                cfg: OsmConfig): SolvedSeq = solveOne(seqKey, "", stops, g, candMap, cfg)
 
   /** one stop's candidate group, expanded to directed edges; the null
-    * placeholder when no snap exists (ShapeBuilder.cpp:171-173) */
+    * placeholder when no snap exists (ShapeBuilder.cpp:171-173). Keeps only
+    * the BEST candidate per deg-2 chain (O1/G9, ShapeBuilder.cpp:241-276 —
+    * K snaps onto one physical street would just oversample it). */
   def expandLayer(g: CompactGraph,
                   candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
                   stopId: String, sLat: Double, sLng: Double): Array[Cand] = {
     val raw = candMap.getOrElse(stopId, Array.empty)
-    val cs = raw.flatMap { case (eid, progr, pen, pLat, pLon, _) =>
-      val idxO = g.edgeIndex.get(eid)
-      if (idxO == null) Nil
-      else {
+    // chain dedup: min pen (ties: lower edge id) per chainOf label
+    val bestPerChain = new java.util.HashMap[Int, (Long, Double, Long, Double, Double, Int)]()
+    raw.foreach { c =>
+      val idxO = g.edgeIndex.get(c._1)
+      if (idxO != null) {
+        val chain = g.chainOf(idxO.intValue())
+        val cur = bestPerChain.get(chain)
+        if (cur == null || c._3 < cur._3 || (c._3 == cur._3 && c._1 < cur._1))
+          bestPerChain.put(chain, c)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val cs = bestPerChain.values().asScala.toArray
+      .sortBy(c => (c._3, c._1))
+      .flatMap { case (eid, progr, pen, pLat, pLon, _) =>
         // both directions are candidates — wrong-way travel on a oneway
         // edge is penalized via the per-direction cost (writeOneWayPens),
         // no longer structurally excluded
-        val i = idxO.intValue()
+        val i = g.edgeIndex.get(eid).intValue()
         Seq(Cand(2 * i, progr, pen, pLat, pLon),
             Cand(2 * i + 1, 1.0 - progr, pen, pLat, pLon))
       }
-    }
     if (cs.isEmpty) Array(Cand(-1, 0.0, NullCandPen10, sLat, sLng)) else cs
   }
 
@@ -348,7 +360,12 @@ object MatcherKernel {
         else math.round(g.cost10(i) * cfg.lineUnmatchedPenaltyFactor)
       }
     val turnPen: (Int, Int) => Long = (fromDir, toDir) => {
-      if (hasRestr && !g.mayTurn(g.dirTo(fromDir), fromDir, toDir)) -1L
+      val via = g.dirTo(fromDir)
+      // turn-cycle nodes (roundabouts): no full-turn or restriction cost
+      // (the whole guarded block in Weights.cpp:125-155)
+      if (g.isTurnCycleNode(via)) {
+        if (unmatchedExtra10 == null) 0L else unmatchedExtra10(toDir >> 1)
+      } else if (hasRestr && !g.mayTurn(via, fromDir, toDir)) -1L
       else {
         val base = if (g.isFullTurn(fromDir, toDir, cfg.fullTurnAngleDeg)) fullTurnPen10 else 0L
         if (unmatchedExtra10 == null) base else base + unmatchedExtra10(toDir >> 1)

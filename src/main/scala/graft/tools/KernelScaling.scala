@@ -16,7 +16,7 @@ object KernelScaling {
       val bbox = graft.osm.GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
       val gt = graft.osm.GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
       val graph = graft.router.CompactGraph.fromEdges(gt.edges, gt.restrictions,
-        gt.wayLines, gt.transitLines)
+        gt.wayLines, gt.transitLines, gt.turnCycles)
       val cands = graft.router.Matcher.buildCands(spark, t.stops, gt.edges, cfg)
       val candMap = cands.select($"stop_id", $"edge_id", $"progr", $"pen10",
           $"py", $"px", $"oneway").collect()

@@ -74,7 +74,7 @@ object ScalingBench {
       val bbox = graft.osm.GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
       val gt = graft.osm.GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
       val graph = graft.router.CompactGraph.fromEdges(gt.edges, gt.restrictions,
-        gt.wayLines, gt.transitLines)
+        gt.wayLines, gt.transitLines, gt.turnCycles)
       val cands = graft.router.Matcher.buildCandsWithStations(
         spark, t.stops, gt.edges, gt.stations, cfg)
       val candMap = cands.select($"stop_id", $"edge_id", $"progr", $"pen10",

@@ -1,51 +1,59 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.fixtures.{SyntheticWorld, WorldTables}
-import graft.osm.{GraphBuilder, OsmConfig}
-import graft.router.{CompactGraph, Matcher}
-/** Scratch driver for manual end-to-end verification (kept out of tests). */
+
+/** Ad-hoc probe main (see .claude/skills/verify). */
 object Scratch {
   def t[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[t] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
   }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[" + sys.env.getOrElse("SC_CORES", "32") + "]")
-      .config("spark.ui.enabled", "false")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SC_CORES", "32")).getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GeoFunctions.register(spark)
     import spark.implicits._
-    val cfg = OsmConfig.bus
-    val world = SyntheticWorld.build(48, 96, tripsPerRoute = 900, variedTrips = true)
-    val tt = WorldTables(spark, world)
-    val bbox = GraphBuilder.feedBBox(tt.stops).pad(cfg.bboxPaddingM)
-    val gt = GraphBuilder.build(spark, tt.osmNodes, tt.osmWays, tt.osmRels, bbox, cfg)
-    gt.edges.cache().count()
-    val graph = t("graph_collect")(CompactGraph.fromEdges(gt.edges, gt.restrictions))
-    val cands = t("cands")({ val c = Matcher.buildCands(spark, tt.stops, gt.edges, cfg).cache(); c.count(); c })
-    val tripStops = WorldTables.tripStops(tt)
-    // sub-steps of matchTripsFull
-    val keyed = t("tripStopsWithKey+cache")({ val k = Matcher.tripStopsWithKey(tripStops).cache(); k.count(); k })
-    val candCollect = t("cands_collect")(cands.collect().length)
-    val solved = t("kernel_solve")({ val s = Matcher.solveKeyedSeqs(spark, keyed, cands, graph, cfg).cache(); s.count(); s })
-    val seqKeys = keyed.select($"trip_id", $"seq_key").distinct()
-    val joined = t("join_back")({ val j = seqKeys.join(solved, Seq("seq_key"))
-      .select($"trip_id".as("shape_id"), explode($"points").as("pt"))
-      .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng")).cache(); j.count(); j })
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"shape_id").orderBy($"seq")
-    t("measure_window")({
-      joined.withColumn("prev_lat", lag($"lat", 1).over(w))
-        .withColumn("prev_lng", lag($"lng", 1).over(w))
-        .withColumn("seg_m", when($"prev_lat".isNull, lit(0.0))
-          .otherwise(graft.functions.GeoFunctions.haversineM($"prev_lat", $"prev_lng", $"lat", $"lng")))
-        .withColumn("travel_dist", sum($"seg_m").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .count()
-    })
-    println(s"cands rows=$candCollect")
-    println(f"[t] kernel cumulative: ${graft.router.MatcherKernel.KernelNanos.sum() / 1e9}%.2f s over ${graft.router.MatcherKernel.KernelSolves.sum()} solves")
+
+    val cfg = graft.osm.OsmConfig.bus
+    val world = graft.fixtures.SyntheticWorld.build(8, 12)
+    val tb = graft.fixtures.WorldTables(spark, world)
+    val bbox = graft.osm.GraphBuilder.feedBBox(tb.stops).pad(cfg.bboxPaddingM)
+    val gt = graft.osm.GraphBuilder.build(spark, tb.osmNodes, tb.osmWays, tb.osmRels, bbox, cfg)
+    val graph = graft.router.CompactGraph.fromEdges(gt.edges, gt.restrictions,
+      gt.wayLines, gt.transitLines, gt.turnCycles)
+    val cands = graft.router.Matcher.buildCandsWithStations(spark, tb.stops, gt.edges, gt.stations, cfg)
+    val (shapes, _) = graft.router.Matcher.matchTripsFull(spark,
+      graft.fixtures.WorldTables.tripStops(tb), cands, graph, cfg)
+    shapes.cache().count()
+    val hops = graft.router.Matcher.matchedHops.cache()
+    println("[scratch] hops by reachable:")
+    hops.groupBy($"reachable").count().show()
+    // coverage distribution without threshold
+    val colorOf = udf((c: String) => graft.functions.StringSim.parseHexColor(c))
+    val hopEdges = hops.select($"trip_id", explode($"edge_ids").as("edge_id"))
+    val withColor = hopEdges
+      .join(gt.edges.select($"edge_id", $"way_id", $"len_m"), Seq("edge_id"))
+      .join(gt.wayLines, Seq("way_id"))
+      .join(gt.transitLines.select($"line_id", colorOf($"colour").as("color")), Seq("line_id"))
+      .filter($"color" >= 0)
+    val totals = hopEdges
+      .join(gt.edges.select($"edge_id", $"len_m"), Seq("edge_id"))
+      .groupBy($"trip_id").agg(sum($"len_m").as("total_m"))
+    println("[scratch] per-trip color coverage:")
+    withColor.groupBy($"trip_id", $"color").agg(sum($"len_m").as("color_m"))
+      .join(totals, Seq("trip_id"))
+      .withColumn("coverage", round($"color_m" / $"total_m", 3))
+      .orderBy($"trip_id").show(20, false)
+    println("[scratch] hop edge way breakdown:")
+    hopEdges.join(gt.edges.select($"edge_id", $"way_id", $"len_m"), Seq("edge_id"))
+      .groupBy($"way_id").agg(count(lit(1)).as("n"), sum($"len_m").as("len")).orderBy($"way_id").show(30)
     spark.stop()
   }
 }
