@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bound AQE plan-description stringification: with deep lineage,
+      // onUpdatePlan -> explainString is quadratic and can dominate the
+      // driver (minutes of CPU inside StringConcat at toy data sizes)
+      .config("spark.sql.maxPlanStringLength", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -179,6 +179,36 @@ object GraphBuilder {
       .withColumnRenamed("to_lon2", "to_lon")
   }
 
+  /** One F6 rule: read `key` from the entity's own tags, or from the tags
+    * of a relation the entity is a member of (DeepAttrRule,
+    * /root/reference/src/pfaedle/osm/OsmReadOpts.h:65-95). */
+  case class DeepAttrRule(key: String, fromRelation: Boolean)
+
+  /** F6 deep attribute extraction (OsmBuilder.cpp:980-1029): first-match
+    * over an ordered rule list, where relation-aware rules pull the tag
+    * from the lowest-id containing relation (deterministic tie-break).
+    * entities(id, tags); rels(id, tags, members); mtype selects the member
+    * type (0 = node, 1 = way). Returns (id, <out>). */
+  def deepAttr(entities: DataFrame, rels: DataFrame, mtype: Int,
+               rules: Seq[DeepAttrRule], out: String): DataFrame = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+    lazy val memberTags = rels.select($"id".as("rel_id"), $"tags".as("rtags"),
+        explode(expr(s"transform(filter(members, m -> m.mtype = $mtype), m -> m.ref)")).as("id"))
+    var df = entities.select($"id", $"tags")
+    rules.zipWithIndex.foreach { case (r, i) =>
+      if (!r.fromRelation) df = df.withColumn(s"v$i", $"tags".getItem(r.key))
+      else {
+        val rv = memberTags.filter($"rtags".getItem(r.key).isNotNull)
+          .groupBy($"id")
+          .agg(min_by($"rtags".getItem(r.key), $"rel_id").as(s"v$i"))
+        df = df.join(rv, Seq("id"), "left_outer")
+      }
+    }
+    df.select($"id",
+      coalesce(rules.indices.map(i => col(s"v$i")): _*).as(out))
+  }
+
   case class BBox(latMin: Double, lonMin: Double, latMax: Double, lonMax: Double) {
     def pad(padM: Double): BBox = {
       val dLat = padM / Geo.MPerDeg
@@ -297,12 +327,17 @@ object GraphBuilder {
         expr("array_max(transform(geom, p -> p.lat))"),
         expr("array_max(transform(geom, p -> p.lon))"), cfg.cellRes))
 
-    // ---- station nodes (F4 station predicate) ----
-    val stations = bboxNodes
-      .filter(tagMatches($"tags", cfg.stationRules))
+    // ---- station nodes (F4 station predicate); names via F6 deep attr
+    // extraction: own name, else the name of a containing relation (e.g. a
+    // stop_area) — OsmBuilder.cpp:980-1029 statAttrRules ----
+    val stationNodes = bboxNodes.filter(tagMatches($"tags", cfg.stationRules))
+    val stationNames = deepAttr(stationNodes, osmRels, mtype = 0,
+      Seq(DeepAttrRule("name", fromRelation = false),
+        DeepAttrRule("name", fromRelation = true)), "name")
+    val stations = stationNodes
       .select($"id".as("node_id"), $"lat", $"lon",
-        $"tags".getItem("name").as("name"),
         gcell($"lat", $"lon", cfg.cellRes).as("cell"))
+      .join(stationNames.withColumnRenamed("id", "node_id"), Seq("node_id"), "left_outer")
 
     // ---- graph nodes: endpoints of kept edges + degree + cell ----
     val nodeIds = edges.select($"from_id".as("node_id"))

@@ -132,7 +132,11 @@ object Matcher {
     import spark.implicits._
     // key once, reuse for both the distinct-solve and the join-back
     val keyed = tripStopsWithKey(tripStops).cache()
-    val solved = solveKeyedSeqs(spark, keyed, cands, graph, cfg).cache()
+    // localCheckpoint (not cache): the kernel output feeds shapes, anchors,
+    // hops, the color ops, the eval and the overlay — truncating the
+    // logical lineage here keeps every downstream plan shallow (deep
+    // lineage made AQE's per-update plan stringification quadratic)
+    val solved = solveKeyedSeqs(spark, keyed, cands, graph, cfg).localCheckpoint()
 
     // join back: every trip gets its sequence's points (skew: AQE handles)
     val seqKeys = keyed.select($"trip_id", $"seq_key").distinct()

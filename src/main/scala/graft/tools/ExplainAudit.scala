@@ -11,7 +11,11 @@ object ExplainAudit {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // bound AQE plan-description stringification: with deep lineage,
+      // onUpdatePlan -> explainString is quadratic and can dominate the
+      // driver (minutes of CPU inside StringConcat at toy data sizes)
+      .config("spark.sql.maxPlanStringLength", "16384").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"

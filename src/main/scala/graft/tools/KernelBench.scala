@@ -12,7 +12,11 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // bound AQE plan-description stringification: with deep lineage,
+      // onUpdatePlan -> explainString is quadratic and can dominate the
+      // driver (minutes of CPU inside StringConcat at toy data sizes)
+      .config("spark.sql.maxPlanStringLength", "16384").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val cfg = OsmConfig.bus

@@ -30,6 +30,10 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bound AQE plan-description stringification: with deep lineage,
+      // onUpdatePlan -> explainString is quadratic and can dominate the
+      // driver (minutes of CPU inside StringConcat at toy data sizes)
+      .config("spark.sql.maxPlanStringLength", "16384")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(s)
