@@ -91,13 +91,20 @@ object Bench {
 
     // headline: map-match + tile assignment pipeline. Warm-up first — the
     // r1 headline measured cold-JIT kernel time and disagreed with
-    // BENCH/BASELINE.md by 140x on the same code.
+    // BENCH/BASELINE.md by 140x on the same code. Per-phase BEST of 3
+    // reps: this host has bursty CPU steal (a single-shot phase time can
+    // be 10x off); the minimum is the uncontended measurement.
     runPipeline(spark, rows = 8, cols = 12, tripsPerRoute = 2)
-    spark.catalog.clearCache()
-    graft.router.HopCache.clear()
-    val stats = runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
-    stats.phases.foreach { case (k, v) => results(s"pipeline_$k") = v }
-    val matchSec = stats.phases.toMap.apply("viterbi_match")
+    val reps = (1 to 3).map { _ =>
+      spark.catalog.clearCache()
+      graft.router.HopCache.clear()
+      runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
+    }
+    val stats = reps.head
+    val phaseMin = reps.flatMap(_.phases).groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).min }
+    phaseMin.toSeq.sortBy(_._1).foreach { case (k, v) => results(s"pipeline_$k") = v }
+    val matchSec = phaseMin("viterbi_match")
     val throughput = stats.rows / math.max(1e-9, matchSec)
 
     // catalog queries on the sf dir — a broken query must FAIL the bench,

@@ -53,15 +53,18 @@ object TextOps {
     round((lenScore + wordScore + stopScore) / lit(3.0), 4)
   }
 
-  /** Word bigrams: (doc_id, pos, gram). Pure Catalyst (posexplode + lead). */
+  /** Word bigrams: (doc_id, pos, gram). Pure in-row Catalyst — adjacent
+    * words pair via slice + zip_with on the split array, so there is no
+    * per-document window (a window shuffles and sorts every token row;
+    * at 10^12 docs that's the whole corpus through one exchange). */
   def wordBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy($"pos")
-    docs.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
-      .withColumn("next", lead($"word", 1).over(w))
-      .filter($"next".isNotNull)
-      .select(col(idCol), $"pos", concat($"word", lit(" "), $"next").as("gram"))
+    val words = split(col(textCol), " ")
+    val grams = zip_with(
+      slice(words, lit(1), size(words) - 1),
+      slice(words, lit(2), size(words) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col(idCol), posexplode(grams).as(Seq("pos", "gram")))
   }
 
   /** Deterministic 31-base hash of a gram's first 4 chars + length — pure
