@@ -57,7 +57,7 @@ object Bench {
     phases += ("viterbi_match" -> tMatch)
     val nTrips = shapes.select("shape_id").distinct().count()
 
-    val images = ImageFixtures.build(world, cfg.cellRes, noiseTiles = 64).toDF().cache()
+    val images = ImageFixtures.table(spark, world, cfg.cellRes, noiseTiles = 64).cache()
     images.count()
     val (assigned, tOverlay) = timed {
       val a = ImageOverlay.assign(images, shapes, cfg.cellRes).cache()

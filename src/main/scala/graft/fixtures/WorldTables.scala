@@ -2,7 +2,12 @@ package graft.fixtures
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** SyntheticWorld -> Spark DataFrames. */
+/** SyntheticWorld -> Spark DataFrames.
+  *
+  * Tables go through sc.parallelize, NOT Seq.toDF: toDF embeds every row
+  * as a literal LocalRelation inside the logical plan — at bench world
+  * sizes that made MULTI-MEGABYTE plans (11.7M chars at 96x192/tpr900)
+  * that every optimizer pass and AQE update re-walked. */
 object WorldTables {
   case class Tables(osmNodes: DataFrame, osmWays: DataFrame, osmRels: DataFrame,
                     stops: DataFrame, routes: DataFrame, trips: DataFrame,
@@ -10,15 +15,20 @@ object WorldTables {
 
   def apply(spark: SparkSession, w: SyntheticWorld.World): Tables = {
     import spark.implicits._
+    def dist[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](s: Seq[T]): DataFrame = {
+      val slices = math.min(spark.sparkContext.defaultParallelism,
+        math.max(1, s.length / 10000))
+      spark.createDataset(spark.sparkContext.parallelize(s, slices)).toDF()
+    }
     Tables(
-      osmNodes = w.nodes.toDF(),
-      osmWays = w.ways.toDF(),
-      osmRels = w.rels.toDF(),
-      stops = w.stops.toDF(),
-      routes = w.routes.toDF(),
-      trips = w.trips.toDF(),
-      stopTimes = w.stopTimes.toDF(),
-      truthShapes = w.truthShapes.toDF())
+      osmNodes = dist(w.nodes),
+      osmWays = dist(w.ways),
+      osmRels = dist(w.rels),
+      stops = dist(w.stops),
+      routes = dist(w.routes),
+      trips = dist(w.trips),
+      stopTimes = dist(w.stopTimes),
+      truthShapes = dist(w.truthShapes))
   }
 
   /** J7: trip_id -> ordered stop rows with coordinates + line identity. */

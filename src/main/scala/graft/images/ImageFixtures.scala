@@ -21,6 +21,17 @@ object ImageFixtures {
 
   /** One PNG + one JPEG tile per station node cell, plus `noisePerCell`
     * off-map tiles that must not be assigned to any shape. */
+  /** build() as a distributed table — via parallelize, not Seq.toDF (toDF
+    * would embed every PNG/JPEG byte array inside the logical plan). */
+  def table(spark: org.apache.spark.sql.SparkSession, world: SyntheticWorld.World,
+            res: Int, seed: Long = 42L, noiseTiles: Int = 8): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = build(world, res, seed, noiseTiles)
+    val slices = math.min(spark.sparkContext.defaultParallelism,
+      math.max(1, rows.length / 100))
+    spark.createDataset(spark.sparkContext.parallelize(rows, slices)).toDF()
+  }
+
   def build(world: SyntheticWorld.World, res: Int, seed: Long = 42L,
             noiseTiles: Int = 8): Seq[ImageRow] = {
     // several stops can share one ~2.4 km cell: one tile pair per CELL,

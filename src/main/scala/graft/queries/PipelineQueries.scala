@@ -88,7 +88,7 @@ object PipelineQueries {
       .select(anchors("trip_id"), $"stop_idx".as("seq"), $"travel_dist".as("shape_dist"))
     val scores = Shapevl.evaluate(spark, truthByTrip, shapes, stopDists, stopDistsGen)
 
-    val images = ImageFixtures.build(world, cfg.cellRes).toDF()
+    val images = ImageFixtures.table(spark, world, cfg.cellRes)
     val assigned = ImageOverlay.assign(images, shapes, cfg.cellRes)
     val verified = ImageOverlay.verify(spark, images)
     val a = Artifacts(shapes, anchors, scores, assigned, verified,
