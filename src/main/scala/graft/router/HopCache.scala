@@ -36,7 +36,18 @@ object HopCache {
   final case class Val(targets: Array[Int], costs: Array[Long], paths: Array[Array[Int]])
 
   val MaxEntries = 200000
-  private val map = new ConcurrentHashMap[Key, Val]()
+
+  /** Memoized computation holder: the lazy val synchronizes on THIS entry,
+    * so concurrent requesters of the same key block on one computation
+    * instead of duplicating it. On a cold memo at 32 threads, similar
+    * sequences (collect order groups them) all missed simultaneously and
+    * re-ran the same Dijkstras — measured 22x per-solve CPU inflation
+    * versus 8 threads (the cache-stampede classic). */
+  final class Entry(compute: () => Val) {
+    lazy val value: Val = compute()
+  }
+
+  private val map = new ConcurrentHashMap[Key, Entry]()
 
   def targetsHash(targets: Array[Int]): Long = {
     var h = 1125899906842597L
@@ -45,15 +56,20 @@ object HopCache {
     h
   }
 
-  def get(key: Key, targets: Array[Int]): Val = {
-    val v = map.get(key)
-    if (v == null) null
-    else if (java.util.Arrays.equals(v.targets, targets)) v
-    else null // 64-bit hash collision: treat as miss
-  }
-
-  def put(key: Key, v: Val): Unit = {
-    if (map.size() < MaxEntries) map.put(key, v)
+  /** Memoized lookup: at most one thread computes a given key; others
+    * block on that computation. The compute closure MUST acquire its own
+    * thread-local workspace (it may run on whichever thread touches the
+    * entry first). Over MaxEntries, computes run uncached (deterministic:
+    * no eviction). A 64-bit targets-hash collision also computes uncached. */
+  def getOrCompute(key: Key, targets: Array[Int], compute: () => Val): Val = {
+    var created = false
+    val e =
+      if (map.size() >= MaxEntries) map.get(key)
+      else map.computeIfAbsent(key, _ => { created = true; new Entry(compute) })
+    if (created) Misses.increment() else Hits.increment()
+    val v = if (e == null) compute() else e.value
+    if (java.util.Arrays.equals(v.targets, targets)) v
+    else compute() // hash collision: compute fresh, don't poison the entry
   }
 
   def clear(): Unit = map.clear()

@@ -170,28 +170,30 @@ object Viterbi {
             if (anySameComp) {
               // hop-cost memo (reference HopCache + cross-trie reuse):
               // the same (source cand, target set, cutoff) repeats across
-              // thousands of trip patterns
+              // thousands of trip patterns. getOrCompute dedups concurrent
+              // identical computations (cold-memo stampede at high thread
+              // counts); the closure takes its own thread-local workspace
+              // because it may run on whichever thread reaches the entry
+              // first.
               val key = HopCache.Key(p.cacheCtx, fc.dirEdge,
                 math.round(fc.progr * 10000).toInt, cutoff, tHash)
-              var hv = HopCache.get(key, targets)
-              if (hv == null) {
-                Dijkstra.oneToMany(g, ws, fc.dirEdge, init, targets,
+              val hv = HopCache.getOrCompute(key, targets, () => {
+                val cws = WorkspacePool.get(2 * g.numEdges)
+                Dijkstra.oneToMany(g, cws, fc.dirEdge, init, targets,
                   cutoff, p.turnPen10, heur)
                 val costs = new Array[Long](targets.length)
                 val paths = new Array[Array[Int]](targets.length)
                 var i = 0
                 while (i < targets.length) {
                   val td = targets(i)
-                  if (ws.isSettled(td)) {
-                    costs(i) = ws.costOf(td)
-                    paths(i) = Dijkstra.path(ws, fc.dirEdge, td)
+                  if (cws.isSettled(td)) {
+                    costs(i) = cws.costOf(td)
+                    paths(i) = Dijkstra.path(cws, fc.dirEdge, td)
                   } else costs(i) = Inf
                   i += 1
                 }
-                hv = HopCache.Val(targets, costs, paths)
-                HopCache.put(key, hv)
-                HopCache.Misses.increment()
-              } else HopCache.Hits.increment()
+                HopCache.Val(targets, costs, paths)
+              })
               var t2 = 0
               while (t2 < to.length) {
                 val tc = to(t2)
