@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * LSH buckets shrink the candidate set so the pairwise work is
   * per-bucket (the 10^12-row path). */
 object AnnOps {
-  /** Embedding dimensionality of the testdata corpus (TESTDATA.md). */
+  /** Embedding dimensionality of the testdata corpus (TESTDATA.md). Only
+    * used by tests/fixtures — the operators themselves are dim-agnostic. */
   val Dim = 64
 
   /** dot(a, b) over array<float> columns as in-row codegen'd arithmetic. */
@@ -36,13 +37,17 @@ object AnnOps {
     * (no transcendental functions, no RNG). */
   def planeWeight(i: Int, j: Int): Double = ((i * 37 + j * 101) % 7 - 3).toDouble
 
-  /** Projection of the embedding onto plane j: the weights are a literal
-    * array baked into the plan (codegen folds them into generated Java). */
-  def planeProj(emb: Column, j: Int): Column = {
-    val weights = array((0 until Dim).map(i => lit(planeWeight(i, j))): _*)
-    aggregate(zip_with(emb, weights, (v, w) => v.cast("double") * w),
+  /** Projection of the embedding onto plane j. The weight is computed from
+    * the element INDEX inside the codegen'd transform lambda, so the
+    * projection adapts to whatever dimensionality the corpus actually has —
+    * a baked Dim-length literal array silently null-padded (and so zeroed
+    * every sign bit) on any non-Dim corpus, collapsing LSH into one
+    * quadratic mega-bucket. */
+  def planeProj(emb: Column, j: Int): Column =
+    aggregate(
+      transform(emb, (v, i) =>
+        v.cast("double") * (((i * 37 + lit(j) * 101) % 7 - 3).cast("double"))),
       lit(0.0), (acc, x) => acc + x)
-  }
 
   /** LSH bucket id per vector: nPlanes sign bits of deterministic integer
     * hyperplane projections. One narrow projection per row — no shuffle. */

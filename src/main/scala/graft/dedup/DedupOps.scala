@@ -51,13 +51,17 @@ object DedupOps {
                    dfCapFrac: Double = DefaultDfCapFrac): DataFrame = {
     import docs.sparkSession.implicits._
     val g = gramHashes(docs).cache()
-    // DF cut: one tiny broadcast of the total count, one agg over grams
+    // DF cut: one tiny broadcast of the total count, one agg over grams.
+    // Broadcast the SMALL side: hot grams (df > cap) are by construction
+    // few (each needs > dfCapFrac of all docs, so there can be at most
+    // 1/dfCapFrac of them) — broadcasting the kept set instead would push
+    // nearly the whole distinct-gram universe through the driver.
     val total = docs.select(count(lit(1)).as("n_docs"))
     val df = g.groupBy($"h").agg(count(lit(1)).as("df"))
-    val keptGrams = df.crossJoin(broadcast(total))
-      .filter($"df" <= floor($"n_docs" * dfCapFrac))
+    val hotGrams = df.crossJoin(broadcast(total))
+      .filter($"df" > floor($"n_docs" * dfCapFrac))
       .select($"h")
-    val kept = g.join(broadcast(keptGrams), Seq("h"), "left_semi")
+    val kept = g.join(broadcast(hotGrams), Seq("h"), "left_anti")
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

@@ -38,6 +38,18 @@ case class OsmConfig(
     /** nohup nodes: ways meeting there do NOT interconnect — each way gets
       * its own node copy (OsmBuilder.cpp:680-683 multiNodes) */
     nohupRules: Seq[TagRule] = Seq.empty,
+    /** station-snap blocker nodes (F4): gates/bollards etc. near a
+      * projected snap point VETO the snap (reference stationBlockerFilter,
+      * OsmFilter.cpp:72-74 + BlockSearch, OsmBuilder.h:66-71) */
+    stationBlockerRules: Seq[TagRule] = Seq.empty,
+    /** orphan OSM-station -> edge snap distance, meters (reference
+      * maxOsmStationDistances default 15, MotConfigReader.cpp:273-278) */
+    maxOsmStationDistanceM: Double = 15.0,
+    /** max edge level a station may snap to (cfg osm_max_snap_level) */
+    maxSnapLevel: Int = 7,
+    /** blocker search radius around a snap point (reference default:
+      * max(maxOsmStationDistances)/8, MotConfigReader.cpp:280-288) */
+    maxBlockDistanceM: Double = 15.0 / 8.0,
     /** max stop->edge snap distance, meters (cfg max_snap_distance) */
     maxSnapDistanceM: Double = 300.0,
     /** grid resolution for the cell index (~2.4 km at 12, matches the
@@ -72,7 +84,9 @@ case class OsmConfig(
   lazy val fingerprint: Long = {
     val s = Seq(maxSnapDistanceM, cellRes, fullTurnPenaltySec, fullTurnAngleDeg,
       distPenFactor, nonStationPenaltySec, transitionPenalty, transWeightModel,
-      lineUnmatchedPenaltyFactor, levelSpeedsKmh.mkString(",")).mkString("|")
+      lineUnmatchedPenaltyFactor, levelSpeedsKmh.mkString(","),
+      maxOsmStationDistanceM, maxSnapLevel, maxBlockDistanceM,
+      stationBlockerRules.mkString(",")).mkString("|")
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }

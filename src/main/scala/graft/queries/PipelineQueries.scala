@@ -68,9 +68,10 @@ object PipelineQueries {
     val cands = Snapshots.stage(spark, snapDir, "cands", fp)(
       Matcher.buildCandsWithStations(spark, t.stops, edges, gt.stations, cfg))
 
-    val (shapes0, anchors) = Matcher.matchTripsFull(spark, tripStops, cands, graph, cfg)
-    val shapes = shapes0.cache()
-    val hops = Matcher.matchedHops.cache()
+    val mr = Matcher.matchTripsFull(spark, tripStops, cands, graph, cfg)
+    val shapes = mr.shapes.cache()
+    val anchors = mr.anchors
+    val hops = mr.hops.cache()
 
     // A8 shape color vote + A7 route color consolidation over matched hops
     val tripColors = ColorOps.shapeColorVote(hops, edges, gt.wayLines,

@@ -66,7 +66,8 @@ object HopCache {
     val e =
       if (map.size() >= MaxEntries) map.get(key)
       else map.computeIfAbsent(key, _ => { created = true; new Entry(compute) })
-    if (created) Misses.increment() else Hits.increment()
+    // over-capacity (e == null) computes are uncached work, i.e. misses
+    if (created || e == null) Misses.increment() else Hits.increment()
     val v = if (e == null) compute() else e.value
     if (java.util.Arrays.equals(v.targets, targets)) v
     else compute() // hash collision: compute fresh, don't poison the entry

@@ -116,19 +116,22 @@ object Matcher {
     * shapes(shape_id=trip_id, seq, lat, lng, travel_dist) + hops via solveHops. */
   def matchTrips(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
                  graph: CompactGraph, cfg: OsmConfig): DataFrame =
-    matchTripsFull(spark, tripStops, cands, graph, cfg)._1
+    matchTripsFull(spark, tripStops, cands, graph, cfg).shapes
 
-  /** Like matchTrips but also returns per-stop anchors
-    * (trip_id, stop_idx, point_seq) — the generated feed's
-    * shape_dist_traveled positions (what the reference writes into
-    * stop_times, consumed by the eval as cut anchors). */
-  /** FIXTURES.md hops table of the last matchTripsFull call:
-    * (trip_id, hop_idx, edge_ids, reachable) — input to the color vote and
-    * the netgraph/GeoJSON debug sinks. */
-  @volatile var matchedHops: DataFrame = null
+  /** Everything one matching run produces:
+    *  - shapes(shape_id, seq, lat, lng, travel_dist) — the matched
+    *    polylines (W2 cumulative measure);
+    *  - anchors(trip_id, stop_idx, point_seq) — per-stop positions into the
+    *    shape (the generated feed's shape_dist_traveled, the eval's cut
+    *    anchors);
+    *  - hops(trip_id, hop_idx, edge_ids, reachable) — FIXTURES.md hops
+    *    table, input to the color vote and the netgraph/GeoJSON sinks.
+    * Returned as one value (r2 leaked hops through a `@volatile var` side
+    * channel, silently coupling callers to call order). */
+  case class MatchResult(shapes: DataFrame, anchors: DataFrame, hops: DataFrame)
 
   def matchTripsFull(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
-                     graph: CompactGraph, cfg: OsmConfig): (DataFrame, DataFrame) = {
+                     graph: CompactGraph, cfg: OsmConfig): MatchResult = {
     import spark.implicits._
     // key once, reuse for both the distinct-solve and the join-back
     val keyed = tripStopsWithKey(tripStops).cache()
@@ -145,7 +148,7 @@ object Matcher {
       .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"))
     val anchors = seqKeys.join(solved, Seq("seq_key"))
       .select($"trip_id", posexplode($"anchors").as(Seq("stop_idx", "point_seq")))
-    matchedHops = seqKeys.join(solved, Seq("seq_key"))
+    val hops = seqKeys.join(solved, Seq("seq_key"))
       .select($"trip_id", explode($"hops").as("h"))
       .select($"trip_id", $"h.hop_idx".as("hop_idx"),
         $"h.edge_ids".as("edge_ids"), $"h.reachable".as("reachable"))
@@ -161,7 +164,7 @@ object Matcher {
         sum($"seg_m").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("float"))
       .select($"shape_id", $"seq", $"lat", $"lng", $"travel_dist")
-    (shapes, anchors)
+    MatchResult(shapes, anchors, hops)
   }
 
   /** F7: trip eligibility — >= 2 stop times, route type within the MOT
@@ -265,28 +268,54 @@ object Matcher {
     // solved (null-candidate fallback), not silently dropped.
     // Cluster = (line identity, first stop): the reference's RoutingAttrs
     // clustering (A2) refined by the trie-forest split (one trie per first
-    // stop) — finer keys give better task parallelism at zero sharing loss,
-    // and the trie solver shares prefix work WITHIN each cluster (A3).
-    distinctSeqs.join(seqCands, Seq("seq_key"), "left_outer")
-      .as[(String, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]
-      .groupByKey { case (_, line, stops, _) =>
-        (if (line == null) "" else line,
-          if (stops.isEmpty) "" else stops.head.stop_id)
-      }
-      .flatMapGroups { (key: (String, String),
-                        it: Iterator[(String, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]) =>
+    // stop); the trie solver shares prefix work WITHIN each cluster (A3).
+    //
+    // SALTING (hot-stop skew, the north star's explicit demand): a feed has
+    // few (line, first-stop) clusters — far fewer than cores — and one
+    // urban cluster can hold thousands of sequences, an unsplittable
+    // straggler AQE cannot help with (it never splits a single group). So
+    // big clusters are hashed into sub-groups of <= MaxSeqsPerGroup
+    // distinct sequences: task count scales with DATA VOLUME, not with the
+    // feed's route topology. The bounded prefix-sharing loss is recovered
+    // hop-wise by the executor-global HopCache (same (cand, targets,
+    // cutoff) memo hits across sub-groups of one physical cluster).
+    // cluster sizes on a SLIM projection (a window count over the full rows
+    // would shuffle the heavy stops payload onto the very hot key being
+    // split); the per-cluster count table is tiny -> broadcast back
+    val slimKeys = distinctSeqs.select($"seq_key",
+      coalesce($"line_name", lit("")).as("c_line"),
+      coalesce(element_at($"stops", 1).getField("stop_id"), lit("")).as("c_stop"))
+    val clCounts = slimKeys.groupBy($"c_line", $"c_stop").agg(count(lit(1)).as("n_cl"))
+    val saltedKeys = slimKeys.join(broadcast(clCounts), Seq("c_line", "c_stop"))
+      .withColumn("salt",
+        pmod(xxhash64($"seq_key"),
+          greatest(lit(1L), ceil($"n_cl" / lit(MaxSeqsPerGroup.toDouble)).cast("long")))
+          .cast("int"))
+      .select($"seq_key", $"c_line", $"c_stop", $"salt")
+    val salted = distinctSeqs.join(saltedKeys, Seq("seq_key"))
+    salted.join(seqCands, Seq("seq_key"), "left_outer")
+      .select($"c_line", $"c_stop", $"salt", $"seq_key", $"stops", $"cands")
+      .as[(String, String, Int, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]
+      .groupByKey { case (line, stop0, salt, _, _, _) => (line, stop0, salt) }
+      .flatMapGroups { (key: (String, String, Int),
+                        it: Iterator[(String, String, Int, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]) =>
         val line = key._1
         val rows = it.toArray
         val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
-          rows.iterator.flatMap(_._4.getOrElse(Nil)).toArray.distinct
+          rows.iterator.flatMap(_._6.getOrElse(Nil)).toArray.distinct
             .groupBy(_.stop_id).map { case (k, v) =>
               k -> v.map(c => (c.edge_id, c.progr, c.pen10, c.py, c.px, c.oneway))
             }
         MatcherKernel.solveCluster(line,
-          rows.map(r => (r._1, r._3.toArray)), bcGraph.value, candMap,
+          rows.map(r => (r._4, r._5.toArray)), bcGraph.value, candMap,
           cfgB.value).iterator
       }.toDF()
   }
+
+  /** Cap on distinct sequences per solver task (the salting grain). Small
+    * enough that tasks comfortably outnumber cores on any real feed, large
+    * enough that the trie still shares prefixes within a task. */
+  val MaxSeqsPerGroup = 64
 }
 
 /** The per-sequence solve: candidate expansion to directed edges, Viterbi,
@@ -294,9 +323,11 @@ object Matcher {
 object MatcherKernel {
   import Matcher.{ShapePoint, SolvedSeq}
 
-  /** cumulative kernel nanos + solve count (perf diagnostics) */
+  /** cumulative kernel nanos + solve count + solver task(group) count
+    * (perf diagnostics — groups is the salted-task parallelism evidence) */
   val KernelNanos = new java.util.concurrent.atomic.LongAdder()
   val KernelSolves = new java.util.concurrent.atomic.LongAdder()
+  val KernelGroups = new java.util.concurrent.atomic.LongAdder()
 
   val NullCandPen10 = 60000L // 100 min — dominated by any real snap
 
@@ -394,6 +425,7 @@ object MatcherKernel {
                    candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
                    cfg: OsmConfig): Array[SolvedSeq] = {
     val t0 = System.nanoTime()
+    KernelGroups.increment()
     try {
       val (single, multi) = seqs.partition(_._2.length < 2)
       val singles = single.map { case (k, stops) =>

@@ -258,8 +258,15 @@ object Viterbi {
               val tc = to(t3)
               val fallback =
                 if (tc.dirEdge < 0)
-                  // null candidate: far above any real path (maxCost * 100)
-                  costFr(fr) + cutoff * 100
+                  // null candidate: far above any real path (maxCost * 100).
+                  // Saturate: under distdiff the cutoff is Inf/2 and a raw
+                  // *100 overflows Long to a NEGATIVE cost that would beat
+                  // every real path and corrupt the backtrace.
+                  // (kept strictly below Inf so a later layer can still
+                  // relax FROM this candidate — chained all-null layers
+                  // must not freeze the lattice at Inf)
+                  math.min(costFr(fr) + math.min(cutoff, Inf / 200) * 100,
+                    Inf - 1)
                 else
                   // dummy edge to a real candidate: pen only, empty path
                   costFr(fr) + tc.pen10

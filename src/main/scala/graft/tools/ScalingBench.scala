@@ -46,21 +46,30 @@ object ScalingBench {
       .map(_.getCollectionTime).sum
   }
 
-  /** One measured pipeline run: cold caches, warm JIT. Returns
-    * (stageSec, trips) where stage = cands_join + viterbi_match +
-    * tile_overlay (the stages that grow with data volume). */
-  def jobStage(spark: SparkSession, rows: Int, cols: Int, tpr: Int): (Double, Long) = {
+  /** One measured run's full evidence: per-phase seconds, GC time, solver
+    * task(group) count — the per-phase split is what localizes any
+    * anti-scaling (r2 reported only the total and the collapse could not be
+    * attributed to a stage). */
+  case class JobSample(phases: Map[String, Double], trips: Long,
+                       gcMs: Long, groups: Long) {
+    def stage: Double =
+      phases("cands_join") + phases("viterbi_match") + phases("tile_overlay")
+  }
+
+  /** One measured pipeline run: cold caches, warm JIT. */
+  def jobStage(spark: SparkSession, rows: Int, cols: Int, tpr: Int): JobSample = {
     spark.catalog.clearCache()
     graft.router.HopCache.clear()
     System.gc()
     val gc0 = gcMillis()
+    val g0 = graft.router.MatcherKernel.KernelGroups.sum()
     val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
-    val m = st.phases.toMap
-    val stage = m("cands_join") + m("viterbi_match") + m("tile_overlay")
+    val gcMs = gcMillis() - gc0
+    val groups = graft.router.MatcherKernel.KernelGroups.sum() - g0
     println(st.phases.map { case (k, v) => f"$k=$v%.2f" }
       .mkString(s"[phases cores=${spark.sparkContext.defaultParallelism}] ", " ", "") +
-      s" gc_ms=${gcMillis() - gc0}")
-    (stage, st.rows)
+      s" gc_ms=$gcMs groups=$groups")
+    JobSample(st.phases.toMap, st.rows, gcMs, groups)
   }
 
   /** Kernel-only scaling: the same distinct-sequence solves through fixed
@@ -134,8 +143,8 @@ object ScalingBench {
     val tpr = sys.env.getOrElse("SPARK_GRAFT_TPR", "400").toInt
 
     // ---- job level: interleaved sessions, same JVM (JIT stays warm) ----
-    val samples = scala.collection.mutable.Map(n -> Vector.empty[Double],
-      4 * n -> Vector.empty[Double])
+    val samples = scala.collection.mutable.Map(n -> Vector.empty[JobSample],
+      4 * n -> Vector.empty[JobSample])
     var trips = 0L
     var warmed = false
     for (rep <- 1 to reps; par <- Seq(n, 4 * n)) {
@@ -143,15 +152,28 @@ object ScalingBench {
       try {
         graft.Bench.runPipeline(spark, 8, 12, 2) // small warm at this shape
         if (!warmed) { jobStage(spark, rows, cols, tpr); warmed = true } // JIT steady state
-        val (t, tr) = jobStage(spark, rows, cols, tpr)
-        trips = tr
-        samples(par) :+= t
-        println(f"[job rep $rep] local[$par] stage=$t%.2f s")
+        val s = jobStage(spark, rows, cols, tpr)
+        trips = s.trips
+        samples(par) :+= s
+        println(f"[job rep $rep] local[$par] stage=${s.stage}%.2f s")
       } finally spark.stop()
     }
-    val tN = samples(n).min; val t4N = samples(4 * n).min
+    val bestN = samples(n).minBy(_.stage); val best4N = samples(4 * n).minBy(_.stage)
+    val tN = bestN.stage; val t4N = best4N.stage
     val thrN = trips / tN; val thr4N = trips / t4N
     val eff = (tN / t4N) / 4.0
+    // per-phase minima at each level + per-phase efficiency: attributes any
+    // residual anti-scaling to a specific stage
+    val phaseNames = Seq("graph_build", "graph_collect", "cands_join",
+      "viterbi_match", "tile_overlay", "tile_verify")
+    def phaseMin(par: Int, ph: String): Double = samples(par).map(_.phases(ph)).min
+    val phaseTable = phaseNames.map { ph =>
+      val a = phaseMin(n, ph); val b = phaseMin(4 * n, ph)
+      f"| $ph | $a%.2f | $b%.2f | ${(a / b) / 4.0}%.2f |"
+    }.mkString("\n")
+    val gcLine = f"GC ms (best-stage rep): local[$n]=${bestN.gcMs}, " +
+      f"local[${4 * n}]=${best4N.gcMs}; solver groups(tasks): " +
+      f"${bestN.groups} (vs ${4 * n} cores at the 4N level)"
 
     // ---- kernel level (in-process, no Spark scheduling) ----
     val (kN, k4N, nSolves, cpuN, cpu4N) = kernelScaling(n, reps)
@@ -177,6 +199,15 @@ object ScalingBench {
          |
          |**Job-level scaling efficiency (T_N / T_4N) / 4 = ${f"$eff%.3f"}**
          |— ${validity(eff)}
+         |
+         |Per-phase split (best rep per level; measured stage = cands_join +
+         |viterbi_match + tile_overlay):
+         |
+         || phase | local[$n] (s) | local[${4 * n}] (s) | efficiency |
+         ||---|---|---|---|
+         |$phaseTable
+         |
+         |$gcLine
          |
          |## Matching kernel (in-process thread pools, no Spark scheduling)
          |

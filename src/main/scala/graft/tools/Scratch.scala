@@ -33,10 +33,10 @@ object Scratch {
     val graph = graft.router.CompactGraph.fromEdges(gt.edges, gt.restrictions,
       gt.wayLines, gt.transitLines, gt.turnCycles)
     val cands = graft.router.Matcher.buildCandsWithStations(spark, tb.stops, gt.edges, gt.stations, cfg)
-    val (shapes, _) = graft.router.Matcher.matchTripsFull(spark,
+    val mr = graft.router.Matcher.matchTripsFull(spark,
       graft.fixtures.WorldTables.tripStops(tb), cands, graph, cfg)
-    shapes.cache().count()
-    val hops = graft.router.Matcher.matchedHops.cache()
+    mr.shapes.cache().count()
+    val hops = mr.hops.cache()
     println("[scratch] hops by reachable:")
     hops.groupBy($"reachable").count().show()
     // coverage distribution without threshold

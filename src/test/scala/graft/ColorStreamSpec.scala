@@ -30,8 +30,7 @@ class ColorOpsSpec extends AnyFunSuite {
     val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions,
       gt.wayLines, gt.transitLines)
     val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg)
-    Matcher.matchTripsFull(spark, WorldTables.tripStops(t), cands, graph, cfg)._1.count()
-    val hops = Matcher.matchedHops
+    val hops = Matcher.matchTripsFull(spark, WorldTables.tripStops(t), cands, graph, cfg).hops
     assert(hops != null && hops.count() > 0)
     // threshold 0.7: the first/last station jogs (off-line snap edges)
     // legitimately dilute coverage a little

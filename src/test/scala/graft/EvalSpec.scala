@@ -39,7 +39,8 @@ class EvalSpec extends AnyFunSuite {
     val gt = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
     val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions)
     val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg)
-    val (gen, anchors) = Matcher.matchTripsFull(spark, WorldTables.tripStops(t), cands, graph, cfg)
+    val mr = Matcher.matchTripsFull(spark, WorldTables.tripStops(t), cands, graph, cfg)
+    val (gen, anchors) = (mr.shapes, mr.anchors)
 
     // truth shapes are per route ("SHP_R<r>"): key them by trip
     val truthByTrip = t.trips.select($"trip_id", $"route_id")
