@@ -31,12 +31,19 @@ object Bench {
     val t = WorldTables(spark, world)
     val cfg = OsmConfig.bus
 
-    val (gt, tGraph) = timed {
+    val (gt0, tGraph) = timed {
       val bbox = GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
       val g = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
       g.edges.cache().count(); g
     }
     phases += ("graph_build" -> tGraph)
+
+    // J4/J6/F4: orphan-station snap + edge splitting (bounded dimension)
+    val (gt, tSnap) = timed {
+      val (g2, _) = graft.osm.StationSnap.refine(spark, gt0, cfg, gt0.blockers)
+      g2.edges.cache().count(); g2
+    }
+    phases += ("station_snap" -> tSnap)
 
     val (graph, tCollect) = timed(CompactGraph.fromEdges(gt.edges, gt.restrictions,
       gt.wayLines, gt.transitLines, gt.turnCycles))

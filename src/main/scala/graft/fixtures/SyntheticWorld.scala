@@ -17,7 +17,7 @@ import graft.model._
 object SyntheticWorld {
   /** bump when the generated world changes — flows into snapshot
     * fingerprints so persisted checkpoints of an older fixture never serve */
-  val FixtureVersion = 2
+  val FixtureVersion = 3
 
   // grid origin (Freiburg-ish, the reference's home town) and spacing
   val Lat0 = 48.0
@@ -62,6 +62,17 @@ object SyntheticWorld {
     // a few far-away outlier nodes (outside any bbox — F1 must drop them)
     for (k <- 0 until math.max(1, rows / 2)) {
       nodes += OsmNode(1000000L + k, -30.0 + k, 100.0 + k, Map("highway" -> "primary"))
+    }
+    // orphan curbside station nodes (highway=bus_stop BESIDE the way, not a
+    // way member — real OSM's dominant bus-stop mapping): 8 m south of the
+    // row street, 40 m east of the stop intersection. StationSnap (J4) must
+    // insert these as graph vertices by splitting the row edge.
+    for (r <- 0 until rows; c <- 0 until cols
+         if r % 2 == 0 && r % 4 != 0 && c % stopEvery == 0) {
+      nodes += OsmNode(3000000L + nodeId(r, c, cols),
+        latOf(r) - 8.0 / Geo.MPerDeg,
+        lonOf(c) + 40.0 / (Geo.MPerDeg * Geo.latLngDistFactor(Lat0)),
+        Map("highway" -> "bus_stop", "name" -> s"Stop $r/$c"))
     }
 
     val ways = scala.collection.mutable.ArrayBuffer[OsmWay]()

@@ -46,7 +46,8 @@ object GraphBuilder {
   def pruneTags(df: DataFrame, cfg: OsmConfig): DataFrame = {
     val keys = (cfg.keepWays ++ cfg.levelRules.map(_._1) ++ cfg.onewayRules ++
       cfg.onewayRevRules ++ cfg.twowayRules ++ cfg.stationRules ++
-      cfg.turnCycleRules ++ cfg.nohupRules).map(_.key).distinct :+ "name"
+      cfg.turnCycleRules ++ cfg.nohupRules ++ cfg.stationBlockerRules)
+      .map(_.key).distinct :+ "name"
     df.withColumn("tags",
       map_filter(col("tags"), (k, _) => k.isInCollection(keys)))
   }
@@ -62,9 +63,13 @@ object GraphBuilder {
     * into one edge (costs and lengths summed, geometry concatenated).
     * Shrinks the broadcast graph — shape-point nodes dominate real OSM
     * ways. Pure Catalyst: degree agg + window chain labeling + groupBy.
-    * Input/output schema: the edgesCost schema + `geom` array. */
+    * Input/output schema: the edgesCost schema + `geom` array.
+    * breakNodes: nodes that must stay addressable vertices — turn cycles
+    * (OsmBuilder.cpp:1591-1594), station nodes and snap blockers (the
+    * reference's collapseEdges never contracts through a node with station
+    * info, and blockers ARE station info: NodePL.cpp:137 setBlocker). */
   def contractDeg2Chains(edgesCost: DataFrame,
-                         turnCycles: DataFrame = null): DataFrame = {
+                         breakNodes: DataFrame = null): DataFrame = {
     val spark = edgesCost.sparkSession
     import spark.implicits._
     // undirected node degree
@@ -72,13 +77,12 @@ object GraphBuilder {
       .unionByName(edgesCost.select($"to_id".as("node_id")))
       .groupBy($"node_id").agg(count(lit(1)).as("deg"))
     // a chain may continue through interior node n iff deg(n) == 2 and n is
-    // not a turn-cycle node (the reference never contracts through those,
-    // OsmBuilder.cpp:1591-1594 — the cost function needs them addressable)
+    // not a break node
     val w = Window.partitionBy($"way_id").orderBy($"pos")
     val withTc =
-      if (turnCycles == null) edgesCost.withColumn("from_tc", lit(null))
+      if (breakNodes == null) edgesCost.withColumn("from_tc", lit(null))
       else edgesCost.join(
-        broadcast(turnCycles.select($"node_id".as("from_id"))
+        broadcast(breakNodes.select($"node_id".as("from_id")).distinct()
           .withColumn("from_tc", lit(1))), Seq("from_id"), "left_outer")
     val withBreak = withTc
       .join(deg.withColumnRenamed("node_id", "from_id")
@@ -225,7 +229,8 @@ object GraphBuilder {
 
   case class GraphTables(nodes: DataFrame, edges: DataFrame, stations: DataFrame,
                          restrictions: DataFrame, transitLines: DataFrame,
-                         wayLines: DataFrame, turnCycles: DataFrame)
+                         wayLines: DataFrame, turnCycles: DataFrame,
+                         blockers: DataFrame = null)
 
   /** Full graph build. Inputs are osm_nodes / osm_ways / osm_rels DataFrames
     * (FIXTURES.md §2 schemas). */
@@ -303,11 +308,20 @@ object GraphBuilder {
       .filter(tagMatches($"tags", cfg.turnCycleRules))
       .select($"id".as("node_id"))
 
+    // ---- F4 station-snap blocker nodes (gates/bollards; OsmFilter.cpp:72-74) ----
+    val blockers = bboxNodes.filter(tagMatches($"tags", cfg.stationBlockerRules))
+      .select($"id".as("node_id"))
+
     // ---- G8 collapseEdges: contract deg-2 chains within each way ----
     // cache: fixGaps consumes this subtree ~5x (degree agg, both ring-join
     // sides, two endpoint-mapping joins) — uncached, every consumer would
-    // re-run the posexplode+join+window upstream
-    val contracted0 = contractDeg2Chains(edgesCost, turnCycles).cache()
+    // re-run the posexplode+join+window upstream.
+    // Break at turn cycles + station nodes + blockers: StationSnap's
+    // eq/blocker walks and the turn cost oracle need them addressable.
+    val stationNodeIds = bboxNodes.filter(tagMatches($"tags", cfg.stationRules))
+      .select($"id".as("node_id"))
+    val breakNodes = turnCycles.unionByName(stationNodeIds).unionByName(blockers)
+    val contracted0 = contractDeg2Chains(edgesCost, breakNodes).cache()
 
     // ---- G8 fixGaps: 1 m endpoint merge of degree-1 nodes ----
     // cache: consumed by the chain labeling (degree agg + CC input), the
@@ -376,6 +390,6 @@ object GraphBuilder {
       .distinct()
 
     GraphTables(nodes, edges, stations, restrictions, lineDim, wayLines,
-      turnCycles)
+      turnCycles, blockers)
   }
 }

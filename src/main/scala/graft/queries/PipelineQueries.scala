@@ -34,7 +34,7 @@ object PipelineQueries {
 
   /** bump when graph/matcher semantics change — keeps persisted snapshot
     * checkpoints from serving stale stage output to a newer engine */
-  val EngineVersion = "r2-g9"
+  val EngineVersion = "r3-snap"
 
   @volatile private var cache: (SparkSession, Artifacts) = null
 
@@ -60,13 +60,17 @@ object PipelineQueries {
       t.stops.join(okStops, Seq("stop_id"), "left_semi")).pad(cfg.bboxPaddingM)
 
     val gt = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
-    // checkpoint #1: the routable graph
-    val edges = Snapshots.stage(spark, snapDir, "graph_edges", fp)(gt.edges)
+    // J4/J6/F4: orphan-station snap + edge splitting (lazy — skipped
+    // entirely when checkpoint #1 is already on disk)
+    lazy val refined = graft.osm.StationSnap.refine(spark, gt, cfg, gt.blockers)._1
+    // checkpoint #1: the routable, station-refined graph
+    val edges = Snapshots.stage(spark, snapDir, "graph_edges", fp)(refined.edges)
+    val stationsR = Snapshots.stage(spark, snapDir, "stations", fp)(refined.stations)
     val graph = CompactGraph.fromEdges(edges, gt.restrictions,
       gt.wayLines, gt.transitLines, gt.turnCycles)
     // checkpoint #2: station-aware snap candidates
     val cands = Snapshots.stage(spark, snapDir, "cands", fp)(
-      Matcher.buildCandsWithStations(spark, t.stops, edges, gt.stations, cfg))
+      Matcher.buildCandsWithStations(spark, t.stops, edges, stationsR, cfg))
 
     val mr = Matcher.matchTripsFull(spark, tripStops, cands, graph, cfg)
     val shapes = mr.shapes.cache()

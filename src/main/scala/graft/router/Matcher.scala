@@ -42,13 +42,22 @@ object Matcher {
     val stopRings = stops.select($"stop_id", $"name".as("stop_name"),
         $"lat".as("s_lat"), $"lng".as("s_lng"))
       .withColumn("cell", explode(kring(gcell($"s_lat", $"s_lng", cfg.cellRes), k)))
-    val simStations = stopRings
+    val simPairs = stopRings
       .join(stations.select($"node_id", $"name".as("st_name"),
         $"lat".as("st_lat"), $"lon".as("st_lon"), $"cell"), Seq("cell"))
       .withColumn("d_m", haversineM($"s_lat", $"s_lng", $"st_lat", $"st_lon"))
       .filter($"d_m" <= cfg.maxSnapDistanceM)
       .filter(simUdf($"stop_name", $"st_name", $"d_m"))
-      .select($"stop_id", $"node_id").distinct()
+    val simStations = simPairs.select($"stop_id", $"node_id").distinct()
+    // the NEAREST similar station per stop: candidates touching that vertex
+    // snap their position onto it, so matched shapes terminate exactly at
+    // the station node (the reference routes via station group nodes,
+    // OsmBuilder snapStation + ShapeBuilder getECM)
+    val bestStation = simPairs.groupBy($"stop_id")
+      .agg(min_by(struct($"node_id", $"st_lat", $"st_lon"),
+        struct($"d_m", $"node_id")).as("b"))
+      .select($"stop_id", $"b.node_id".as("best_node"),
+        $"b.st_lat".as("b_lat"), $"b.st_lon".as("b_lon"))
     val cands = buildCands(spark, stops, edges, cfg)
     val nonStationPen10 = graft.geo.Geo.costToInt(cfg.nonStationPenaltySec)
     // an edge is a "station candidate" if either endpoint is a similar station
@@ -58,10 +67,18 @@ object Matcher {
         .withColumn("st_from", lit(1)), Seq("stop_id", "from_id"), "left_outer")
       .join(simStations.withColumnRenamed("node_id", "to_id")
         .withColumn("st_to", lit(1)), Seq("stop_id", "to_id"), "left_outer")
+      .join(bestStation, Seq("stop_id"), "left_outer")
       .withColumn("pen10",
         when($"st_from".isNotNull || $"st_to".isNotNull, $"pen10")
           .otherwise($"pen10" + lit(nonStationPen10)))
-      .drop("from_id", "to_id", "st_from", "st_to")
+      .withColumn("at_from", $"best_node".isNotNull && $"from_id" === $"best_node")
+      .withColumn("at_to", $"best_node".isNotNull && $"to_id" === $"best_node")
+      .withColumn("progr", when($"at_from", lit(0.0))
+        .when($"at_to", lit(1.0)).otherwise($"progr"))
+      .withColumn("py", when($"at_from" || $"at_to", $"b_lat").otherwise($"py"))
+      .withColumn("px", when($"at_from" || $"at_to", $"b_lon").otherwise($"px"))
+      .drop("from_id", "to_id", "st_from", "st_to",
+        "best_node", "b_lat", "b_lon", "at_from", "at_to")
   }
 
   /** Candidate generation (J4/J5): broadcast k-ring join + projection.

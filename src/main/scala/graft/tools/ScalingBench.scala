@@ -85,7 +85,9 @@ object ScalingBench {
         tripsPerRoute = 900, variedTrips = true)
       val t = graft.fixtures.WorldTables(spark, world)
       val bbox = graft.osm.GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
-      val gt = graft.osm.GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
+      val gt0 = graft.osm.GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
+      gt0.edges.cache()
+      val gt = graft.osm.StationSnap.refine(spark, gt0, cfg, gt0.blockers)._1
       val graph = graft.router.CompactGraph.fromEdges(gt.edges, gt.restrictions,
         gt.wayLines, gt.transitLines, gt.turnCycles)
       val cands = graft.router.Matcher.buildCandsWithStations(
@@ -164,8 +166,8 @@ object ScalingBench {
     val eff = (tN / t4N) / 4.0
     // per-phase minima at each level + per-phase efficiency: attributes any
     // residual anti-scaling to a specific stage
-    val phaseNames = Seq("graph_build", "graph_collect", "cands_join",
-      "viterbi_match", "tile_overlay", "tile_verify")
+    val phaseNames = Seq("graph_build", "station_snap", "graph_collect",
+      "cands_join", "viterbi_match", "tile_overlay", "tile_verify")
     def phaseMin(par: Int, ph: String): Double = samples(par).map(_.phases(ph)).min
     val phaseTable = phaseNames.map { ph =>
       val a = phaseMin(n, ph); val b = phaseMin(4 * n, ph)
