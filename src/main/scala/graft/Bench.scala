@@ -13,7 +13,42 @@ import graft.router.{CompactGraph, Matcher}
   * pipeline on a larger synthetic world, plus every catalog query on
   * SPARK_GRAFT_SF_DIR. Prints ONE JSON line. */
 object Bench {
-  case class PipelineStats(rows: Long, tiles: Long, phases: Seq[(String, Double)])
+  /** per-phase Spark task metrics: (executor task ms, executor GC ms,
+    * task count) — wall >> taskMs/cores means the phase is driver- or
+    * scheduling-bound, not executor-bound. */
+  case class PhaseM(taskMs: Long, gcMs: Long, nTasks: Long)
+  case class PipelineStats(rows: Long, tiles: Long, phases: Seq[(String, Double)],
+                           metrics: Map[String, PhaseM] = Map.empty)
+
+  /** accumulates executor task metrics across all jobs (thread-safe), plus
+    * per-stage totals so a phase's time can be attributed to the exact
+    * operator (stage names carry the first line of the stage's call site) */
+  private final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+    val taskMs = new java.util.concurrent.atomic.LongAdder
+    val gcMs = new java.util.concurrent.atomic.LongAdder
+    val nTasks = new java.util.concurrent.atomic.LongAdder
+    private val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      stageName.put(e.stageInfo.stageId, e.stageInfo.name.takeWhile(_ != '\n').take(80))
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        taskMs.add(m.executorRunTime); gcMs.add(m.jvmGCTime); nTasks.increment()
+        val nm = stageName.getOrDefault(e.stageId, s"stage-${e.stageId}")
+        stageMs.computeIfAbsent(nm, _ => new java.util.concurrent.atomic.LongAdder)
+          .add(m.executorRunTime)
+      }
+    }
+    def snap(): (Long, Long, Long) = (taskMs.sum(), gcMs.sum(), nTasks.sum())
+    /** top-k stages by task ms since the given snapshot (approximate:
+      * whole-run totals; call once per run for clean attribution) */
+    def topStages(k: Int): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      stageMs.asScala.toSeq.map { case (n, a) => (n, a.sum()) }
+        .sortBy(-_._2).take(k)
+    }
+  }
 
   def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -26,6 +61,18 @@ object Bench {
                   tripsPerRoute: Int): PipelineStats = {
     import spark.implicits._
     val phases = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val metrics = scala.collection.mutable.Map[String, PhaseM]()
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    var last = listener.snap()
+    def mark(name: String): Unit = {
+      // listener events are async; a short drain keeps phase attribution
+      // honest without reaching into the private listener bus
+      Thread.sleep(60)
+      val cur = listener.snap()
+      metrics(name) = PhaseM(cur._1 - last._1, cur._2 - last._2, cur._3 - last._3)
+      last = cur
+    }
     val world = SyntheticWorld.build(rows, cols, tripsPerRoute = tripsPerRoute,
       variedTrips = true)
     val t = WorldTables(spark, world)
@@ -37,6 +84,7 @@ object Bench {
       g.edges.cache().count(); g
     }
     phases += ("graph_build" -> tGraph)
+    mark("graph_build")
 
     // J4/J6/F4: orphan-station snap + edge splitting (bounded dimension)
     val (gt, tSnap) = timed {
@@ -44,24 +92,31 @@ object Bench {
       g2.edges.cache().count(); g2
     }
     phases += ("station_snap" -> tSnap)
+    mark("station_snap")
 
     val (graph, tCollect) = timed(CompactGraph.fromEdges(gt.edges, gt.restrictions,
       gt.wayLines, gt.transitLines, gt.turnCycles))
     phases += ("graph_collect" -> tCollect)
+    mark("graph_collect")
 
     val (cands, tCands) = timed {
-      // flagship path: station-aware candidates (J4/J5 + statsimi)
+      // flagship path: station-aware candidates (J4/J5 + statsimi).
+      // localCheckpoint: the cands DAG (kring explode x edge cells x
+      // station simi joins) is referenced by the solve AND the join-backs;
+      // truncating keeps downstream AQE plan strings bounded.
       val c = Matcher.buildCandsWithStations(spark, t.stops, gt.edges,
-        gt.stations, cfg).cache()
+        gt.stations, cfg).localCheckpoint()
       c.count(); c
     }
     phases += ("cands_join" -> tCands)
+    mark("cands_join")
 
     val (shapes, tMatch) = timed {
       val s = Matcher.matchTrips(spark, WorldTables.tripStops(t), cands, graph, cfg).cache()
       s.count(); s
     }
     phases += ("viterbi_match" -> tMatch)
+    mark("viterbi_match")
     val nTrips = shapes.select("shape_id").distinct().count()
 
     val images = ImageFixtures.table(spark, world, cfg.cellRes, noiseTiles = 64).cache()
@@ -71,10 +126,17 @@ object Bench {
       a.count(); a
     }
     phases += ("tile_overlay" -> tOverlay)
+    mark("tile_overlay")
     val (nVerified, tVerify) = timed(ImageOverlay.verify(spark, images).count())
     phases += ("tile_verify" -> tVerify)
+    mark("tile_verify")
 
-    PipelineStats(nTrips, assigned.count() + nVerified, phases.toSeq)
+    spark.sparkContext.removeSparkListener(listener)
+    if (sys.env.contains("SPARK_GRAFT_STAGE_ATTRIB"))
+      listener.topStages(12).foreach { case (n, ms) =>
+        println(f"[stage-attrib] ${ms / 1000.0}%8.1f s  $n")
+      }
+    PipelineStats(nTrips, assigned.count() + nVerified, phases.toSeq, metrics.toMap)
   }
 
   def main(args: Array[String]): Unit = {

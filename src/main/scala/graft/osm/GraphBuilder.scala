@@ -313,33 +313,42 @@ object GraphBuilder {
       .select($"id".as("node_id"))
 
     // ---- G8 collapseEdges: contract deg-2 chains within each way ----
-    // cache: fixGaps consumes this subtree ~5x (degree agg, both ring-join
-    // sides, two endpoint-mapping joins) — uncached, every consumer would
-    // re-run the posexplode+join+window upstream.
+    // localCheckpoint: fixGaps consumes this subtree 5 ways (degree agg,
+    // both ring-join sides, two endpoint-mapping joins) — a cache avoids
+    // recompute but leaves the posexplode+join+window diamond in every
+    // consumer's plan STRING (5x duplicated, ~176k chars); the checkpoint
+    // truncates it.
     // Break at turn cycles + station nodes + blockers: StationSnap's
     // eq/blocker walks and the turn cost oracle need them addressable.
     val stationNodeIds = bboxNodes.filter(tagMatches($"tags", cfg.stationRules))
       .select($"id".as("node_id"))
     val breakNodes = turnCycles.unionByName(stationNodeIds).unionByName(blockers)
-    val contracted0 = contractDeg2Chains(edgesCost, breakNodes).cache()
+    val contracted0 = contractDeg2Chains(edgesCost, breakNodes).localCheckpoint()
 
     // ---- G8 fixGaps: 1 m endpoint merge of degree-1 nodes ----
-    // cache: consumed by the chain labeling (degree agg + CC input), the
-    // cell covering, and the node derivation — the graph tables are the
-    // bounded dimension side (the reference holds them fully in RAM)
-    val contracted = fixGaps(contracted0).cache()
+    val contracted = fixGaps(contracted0)
 
     // ---- cells: cover the edge GEOMETRY bbox at cfg.cellRes ----
     // (G9 deg-2 chain dedup happens kernel-side on the broadcast graph —
     // CompactGraph.chainOf — mirroring the reference's in-memory walk,
     // ShapeBuilder.cpp:287-316; a distributed labeling here paid O(log n)
     // join rounds per build for a property of the bounded dimension table)
+    //
+    // localCheckpoint: the build DAG is a DIAMOND (edgesCost feeds the
+    // degree agg twice + the chain labeling; contracted0 feeds fixGaps 5
+    // ways) and every downstream consumer re-references the shared
+    // subtrees. Plan STRINGS expand shared subtrees per reference —
+    // measured 45M chars at the 64x128 bench world — and AQE re-renders
+    // them on every plan update, a pure-driver cost that anti-scales.
+    // Truncating the lineage here makes every downstream plan shallow; the
+    // graph is the bounded dimension, so materializing it is free.
     val edges = contracted.withColumn("cells",
       gcellsCover(
         expr("array_min(transform(geom, p -> p.lat))"),
         expr("array_min(transform(geom, p -> p.lon))"),
         expr("array_max(transform(geom, p -> p.lat))"),
         expr("array_max(transform(geom, p -> p.lon))"), cfg.cellRes))
+      .localCheckpoint()
 
     // ---- station nodes (F4 station predicate); names via F6 deep attr
     // extraction: own name, else the name of a containing relation (e.g. a

@@ -313,7 +313,8 @@ object StationSnap {
       if (newEdges.isEmpty) gt.edges
       else {
         val newDf0 = spark.createDataFrame(
-          spark.sparkContext.parallelize(newEdges.toSeq, 1))
+          spark.sparkContext.parallelize(newEdges.toSeq,
+            math.max(1, newEdges.length / 500)))
         val actualTypes = newDf0.schema.map(f => f.name -> f.dataType).toMap
         val schema = gt.edges.schema
         val newDf = newDf0.select(schema.map { f =>

@@ -97,6 +97,83 @@ object Dijkstra {
     reached
   }
 
+  /** N->N multi-source variant — the reference's hopsFast
+    * (/root/reference/src/pfaedle/router/Router.tpp:434-526): every source
+    * is seeded with its own init offset (there: invWeight of the lattice
+    * cost), ONE search settles every target at
+    * min over sources of (init_s + pathCost). The winning source is
+    * recovered by walking the workspace pred chain. seedDirs/seedInits are
+    * parallel arrays; seeds must have distinct directed edges. */
+  def manyToMany(g: CompactGraph, ws: RouterWorkspace,
+                 seedDirs: Array[Int], seedInits: Array[Long],
+                 targetList: Array[Int], cutoff10: Long,
+                 turnPen10: (Int, Int) => Long,
+                 heur10: Int => Long = null): Int = {
+    ws.newEpoch()
+    var remaining = 0
+    var t = 0
+    while (t < targetList.length) {
+      if (!ws.isTarget(targetList(t))) { ws.markTarget(targetList(t)); remaining += 1 }
+      t += 1
+    }
+    var reached = 0
+    val pq = ws.pq
+    pq.clear()
+    @inline def h(de: Int): Long = if (heur10 == null) 0L else heur10(de)
+    @inline def pack(c: Long, de: Int): Long = (c << 32) | de.toLong
+    @inline def offer(f: Long, de: Int): Unit =
+      if (f < Int.MaxValue.toLong) pq.add(pack(f, de))
+    @inline def unpackCost(p: Long): Long = p >>> 32
+    @inline def unpackDe(p: Long): Int = (p & 0xffffffffL).toInt
+
+    var s = 0
+    while (s < seedDirs.length) {
+      val de = seedDirs(s)
+      val start = seedInits(s) + g.dirCost10(de)
+      if (start < ws.costOf(de)) {
+        ws.setCost(de, start, -1)
+        offer(start + h(de), de)
+      }
+      s += 1
+    }
+
+    var iters = 0L
+    var exceeded = false
+    while (!pq.isEmpty && remaining > 0 && !exceeded) {
+      val top = pq.poll()
+      val f = unpackCost(top); val de = unpackDe(top)
+      val c = f - h(de)
+      if (f > cutoff10) exceeded = true
+      else if (!ws.isSettled(de) && c <= ws.costOf(de)) {
+        ws.markSettled(de)
+        iters += 1
+        if (ws.isTarget(de)) { remaining -= 1; reached += 1 }
+        if (remaining > 0) {
+          val ni = g.dirToIdx(de)
+          val lo = g.adjOffsets(ni); val hi = g.adjOffsets(ni + 1)
+          var k = lo
+          while (k < hi) {
+            val nx = g.adjEdges(k)
+            if (!ws.isSettled(nx)) {
+              val tp = turnPen10(de, nx)
+              if (tp >= 0) {
+                val nc = c + g.dirCost10(nx) + tp
+                val old = ws.costOf(nx)
+                if (nc < old || (nc == old && de < ws.predOf(nx))) {
+                  ws.setCost(nx, nc, de)
+                  offer(nc + h(nx), nx)
+                }
+              }
+            }
+            k += 1
+          }
+        }
+      }
+    }
+    Iters.add(iters)
+    reached
+  }
+
   /** Materialize the directed-edge path source..target from the workspace
     * predecessors (valid until the next oneToMany call). */
   def path(ws: RouterWorkspace, sourceDir: Int, targetDir: Int): Array[Int] = {

@@ -73,8 +73,51 @@ object HopCache {
     else compute() // hash collision: compute fresh, don't poison the entry
   }
 
-  def clear(): Unit = map.clear()
-  def size(): Int = map.size()
+  // ---- layer-level memo for the hopsFast N->N path ----
+  // Keyed on the WHOLE layer: (ctx, source set incl. quantized progr and
+  // RELATIVE lattice costs, cutoff, target set). Relative costs make the
+  // entry shift-invariant: adding a constant to every source cost changes
+  // neither the per-target argmin nor the paths, and identical stop-chains
+  // re-appearing in other tries/clusters produce exactly the same relative
+  // cost vector.
+  final case class LayerKey(ctx: Long, srcsHash: Long, cutoff10: Long, tHash: Long)
+  /** srcs: packed verification copy (2 longs per seed: (dirEdge<<32|progrQ),
+    * relInit). costsRel = settled cost - minInit per target (Inf if
+    * unreached); winners = winning SEED directed edge (-1 unreached). */
+  final case class LayerVal(srcs: Array[Long], targets: Array[Int],
+                            costsRel: Array[Long], winners: Array[Int],
+                            paths: Array[Array[Int]])
+
+  final class LayerEntry(compute: () => LayerVal) {
+    lazy val value: LayerVal = compute()
+  }
+  private val layerMap = new ConcurrentHashMap[LayerKey, LayerEntry]()
+
+  def srcsHash(srcs: Array[Long]): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < srcs.length) { h = (h ^ srcs(i)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def layerGetOrCompute(key: LayerKey, srcs: Array[Long], targets: Array[Int],
+                        compute: () => LayerVal): LayerVal = {
+    var created = false
+    val e =
+      if (layerMap.size() >= MaxEntries) layerMap.get(key)
+      else layerMap.computeIfAbsent(key, _ => { created = true; new LayerEntry(compute) })
+    if (created || e == null) Misses.increment() else Hits.increment()
+    val v = if (e == null) compute() else e.value
+    if (java.util.Arrays.equals(v.srcs, srcs) &&
+        java.util.Arrays.equals(v.targets, targets)) v
+    else compute() // hash collision: compute fresh, don't poison the entry
+  }
+
+  def clear(): Unit = {
+    map.clear(); layerMap.clear()
+    MatcherKernel.clearLineExtraCache() // same lifecycle: per-graph memo
+  }
+  def size(): Int = map.size() + layerMap.size()
   val Hits = new java.util.concurrent.atomic.LongAdder()
   val Misses = new java.util.concurrent.atomic.LongAdder()
 }

@@ -150,8 +150,12 @@ object Matcher {
   def matchTripsFull(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
                      graph: CompactGraph, cfg: OsmConfig): MatchResult = {
     import spark.implicits._
-    // key once, reuse for both the distinct-solve and the join-back
-    val keyed = tripStopsWithKey(tripStops).cache()
+    // key once, reuse for both the distinct-solve and the join-back.
+    // localCheckpoint (not cache): the keyed table is referenced by the
+    // distinct-solve chain AND three join-backs — a cache leaves the full
+    // upstream lineage in every consumer's plan string (AQE re-renders it
+    // per update), a checkpoint truncates it.
+    val keyed = tripStopsWithKey(tripStops).localCheckpoint()
     // localCheckpoint (not cache): the kernel output feeds shapes, anchors,
     // hops, the color ops, the eval and the overlay — truncating the
     // logical lineage here keeps every downstream plan shallow (deep
@@ -266,23 +270,6 @@ object Matcher {
     val distinctSeqs = keyed.dropDuplicates("seq_key")
       .select($"seq_key", $"line_name", $"stops")
 
-    // distribute candidates by JOIN, not by driver collect (r1 pulled the
-    // whole cands table through the driver — stops x 8 is bounded for one
-    // feed but is the classic scale-killer at a continental one). Each
-    // sequence gets exactly its own stops' candidates; the per-group
-    // payload is bounded by stops-per-trip x top-K.
-    val seqStops = distinctSeqs
-      .select($"seq_key", explode(expr("transform(stops, s -> s.stop_id)")).as("stop_id"))
-      .distinct()
-    val seqCands = seqStops
-      .join(cands.select($"stop_id", $"edge_id", $"progr", $"pen10",
-        $"py", $"px", $"oneway"), Seq("stop_id"))
-      .groupBy($"seq_key")
-      .agg(collect_list(struct($"stop_id", $"edge_id", $"progr", $"pen10",
-        $"py", $"px", $"oneway")).as("cands"))
-
-    // left join: a sequence whose stops ALL lack candidates must still be
-    // solved (null-candidate fallback), not silently dropped.
     // Cluster = (line identity, first stop): the reference's RoutingAttrs
     // clustering (A2) refined by the trie-forest split (one trie per first
     // stop); the trie solver shares prefix work WITHIN each cluster (A3).
@@ -309,24 +296,46 @@ object Matcher {
           greatest(lit(1L), ceil($"n_cl" / lit(MaxSeqsPerGroup.toDouble)).cast("long")))
           .cast("int"))
       .select($"seq_key", $"c_line", $"c_stop", $"salt")
-    val salted = distinctSeqs.join(saltedKeys, Seq("seq_key"))
-    salted.join(seqCands, Seq("seq_key"), "left_outer")
-      .select($"c_line", $"c_stop", $"salt", $"seq_key", $"stops", $"cands")
-      .as[(String, String, Int, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]
-      .groupByKey { case (line, stop0, salt, _, _, _) => (line, stop0, salt) }
-      .flatMapGroups { (key: (String, String, Int),
-                        it: Iterator[(String, String, Int, String, Seq[Matcher.TS], Option[Seq[Matcher.CandRow]])]) =>
+    val seqsDs = distinctSeqs.join(saltedKeys, Seq("seq_key"))
+      .select($"c_line", $"c_stop", $"salt", $"seq_key", $"stops")
+      .as[(String, String, Int, String, Seq[Matcher.TS])]
+      .groupByKey { case (line, stop0, salt, _, _) => (line, stop0, salt) }
+
+    // Candidates are shipped ONCE PER CLUSTER via cogroup, not once per
+    // sequence: the member sequences of a cluster share (almost all of)
+    // their stops, so a per-seq_key candidate join duplicated every
+    // stop's candidate rows across all its sequences (measured ~64x
+    // payload amplification = most of the match stage's executor time —
+    // encoder deserialization of tens of millions of duplicate structs).
+    // This is still a JOIN distribution, never a driver collect.
+    val clusterCands = saltedKeys
+      .join(distinctSeqs.select($"seq_key",
+        explode(expr("transform(stops, s -> s.stop_id)")).as("stop_id")), Seq("seq_key"))
+      .select($"c_line", $"c_stop", $"salt", $"stop_id").distinct()
+      .join(cands.select($"stop_id", $"edge_id", $"progr", $"pen10",
+        $"py", $"px", $"oneway"), Seq("stop_id"))
+      .select($"c_line", $"c_stop", $"salt", $"stop_id", $"edge_id",
+        $"progr", $"pen10", $"py", $"px", $"oneway")
+      .as[(String, String, Int, String, Long, Double, Long, Double, Double, Int)]
+      .groupByKey { case (line, stop0, salt, _, _, _, _, _, _, _) => (line, stop0, salt) }
+
+    // cogroup: a sequence whose stops ALL lack candidates still arrives
+    // (with an empty candidate side) and is solved via the null-candidate
+    // fallback, never silently dropped.
+    seqsDs.cogroup(clusterCands) {
+      (key: (String, String, Int),
+       seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS])],
+       candIt: Iterator[(String, String, Int, String, Long, Double, Long, Double, Double, Int)]) =>
         val line = key._1
-        val rows = it.toArray
         val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
-          rows.iterator.flatMap(_._6.getOrElse(Nil)).toArray.distinct
-            .groupBy(_.stop_id).map { case (k, v) =>
-              k -> v.map(c => (c.edge_id, c.progr, c.pen10, c.py, c.px, c.oneway))
-            }
+          candIt.toArray.groupBy(_._4).map { case (k, v) =>
+            k -> v.map(c => (c._5, c._6, c._7, c._8, c._9, c._10))
+          }
+        val rows = seqIt.toArray
         MatcherKernel.solveCluster(line,
           rows.map(r => (r._4, r._5.toArray)), bcGraph.value, candMap,
           cfgB.value).iterator
-      }.toDF()
+    }.toDF()
   }
 
   /** Cap on distinct sequences per solver task (the salting grain). Small
@@ -341,10 +350,18 @@ object MatcherKernel {
   import Matcher.{ShapePoint, SolvedSeq}
 
   /** cumulative kernel nanos + solve count + solver task(group) count
-    * (perf diagnostics — groups is the salted-task parallelism evidence) */
+    * (perf diagnostics — groups is the salted-task parallelism evidence).
+    * KernelNanos is wall inside the solve; KernelCpuNanos is thread CPU
+    * (immune to host steal/GC pauses — the stable signal on noisy hosts);
+    * sub-phase adders attribute kernel time to params/trie/materialize. */
   val KernelNanos = new java.util.concurrent.atomic.LongAdder()
+  val KernelCpuNanos = new java.util.concurrent.atomic.LongAdder()
+  val ParamsNanos = new java.util.concurrent.atomic.LongAdder()
+  val TrieNanos = new java.util.concurrent.atomic.LongAdder()
+  val MatNanos = new java.util.concurrent.atomic.LongAdder()
   val KernelSolves = new java.util.concurrent.atomic.LongAdder()
   val KernelGroups = new java.util.concurrent.atomic.LongAdder()
+  private val tmx = java.lang.management.ManagementFactory.getThreadMXBean
 
   val NullCandPen10 = 60000L // 100 min — dominated by any real snap
 
@@ -396,6 +413,17 @@ object MatcherKernel {
     if (cs.isEmpty) Array(Cand(-1, 0.0, NullCandPen10, sLat, sLng)) else cs
   }
 
+  /** memo for the per-(graph, config, line) edge surcharge array: building
+    * it runs a string-similarity call per EDGE (O(numEdges) with regex
+    * tokenization inside), and relaxParams fires once per salted solver
+    * group — the same line identity recomputed it hundreds of times
+    * (profiled as the single hottest kernel frame). Bounded: one slot per
+    * distinct (graph, cfg, line). */
+  private val LineExtraCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long, String), Array[Long]]()
+  private val LineExtraMax = 4096
+  def clearLineExtraCache(): Unit = LineExtraCache.clear()
+
   /** per-cluster routing knobs: turn-penalty oracle with line-similarity
     * cost shaping (G2/U6, Weights.cpp:65-155), cutoff widening, memo ctx */
   def relaxParams(g: CompactGraph, cfg: OsmConfig, lineName: String): Viterbi.RelaxParams = {
@@ -403,14 +431,17 @@ object MatcherKernel {
     val hasRestr = g.hasRestrictions
     val shapeLines = lineName != null && lineName.nonEmpty &&
       g.edgeLines.exists(_.nonEmpty)
+    def buildExtra(): Array[Long] = Array.tabulate(g.numEdges) { i =>
+      val matches = g.edgeLines(i).exists(n =>
+        graft.functions.StringSim.lineSimi(lineName, n) > 0.5)
+      if (matches) 0L
+      else math.round(g.cost10(i) * cfg.lineUnmatchedPenaltyFactor)
+    }
     val unmatchedExtra10: Array[Long] =
       if (!shapeLines) null
-      else Array.tabulate(g.numEdges) { i =>
-        val matches = g.edgeLines(i).exists(n =>
-          graft.functions.StringSim.lineSimi(lineName, n) > 0.5)
-        if (matches) 0L
-        else math.round(g.cost10(i) * cfg.lineUnmatchedPenaltyFactor)
-      }
+      else if (LineExtraCache.size() >= LineExtraMax) buildExtra()
+      else LineExtraCache.computeIfAbsent((g.token, cfg.fingerprint, lineName),
+        _ => buildExtra())
     val turnPen: (Int, Int) => Long = (fromDir, toDir) => {
       val via = g.dirTo(fromDir)
       // turn-cycle nodes (roundabouts): no full-turn or restriction cost
@@ -442,26 +473,34 @@ object MatcherKernel {
                    candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
                    cfg: OsmConfig): Array[SolvedSeq] = {
     val t0 = System.nanoTime()
+    val c0 = tmx.getCurrentThreadCpuTime
     KernelGroups.increment()
     try {
       val (single, multi) = seqs.partition(_._2.length < 2)
       val singles = single.map { case (k, stops) =>
         solveOneImpl(k, lineName, stops, g, candMap, cfg)
       }
+      val tp0 = System.nanoTime()
       val p = relaxParams(g, cfg, lineName)
+      ParamsNanos.add(System.nanoTime() - tp0)
       val solved = TrieSolver.buildForest(multi).flatMap { trie =>
-        TrieSolver.solveTrie(g, trie,
+        val ts0 = System.nanoTime()
+        val leaves = TrieSolver.solveTrie(g, trie,
           nd => expandLayer(g, candMap, nd.stopId, nd.lat, nd.lng), p)
-          .flatMap { lr =>
-            val (ptsArr, anchors, hopRows, unroutable) =
-              materialize(g, cfg, lr.layers, lr.res)
-            lr.seqKeys.map(k => SolvedSeq(k, ptsArr, anchors, hopRows,
-              lr.res.hops.length, unroutable, lr.res.totalCost10))
-          }
+        TrieNanos.add(System.nanoTime() - ts0)
+        leaves.flatMap { lr =>
+          val tm0 = System.nanoTime()
+          val (ptsArr, anchors, hopRows, unroutable) =
+            materialize(g, cfg, lr.layers, lr.res)
+          MatNanos.add(System.nanoTime() - tm0)
+          lr.seqKeys.map(k => SolvedSeq(k, ptsArr, anchors, hopRows,
+            lr.res.hops.length, unroutable, lr.res.totalCost10))
+        }
       }
       singles ++ solved
     } finally {
       KernelNanos.add(System.nanoTime() - t0)
+      KernelCpuNanos.add(tmx.getCurrentThreadCpuTime - c0)
       KernelSolves.add(seqs.length)
     }
   }

@@ -33,6 +33,10 @@ final case class SolveResult(bestCands: Array[Int], hops: Array[HopPath], totalC
   */
 object Viterbi {
   val MaxDoublingSteps = 3
+  /** minimum real sources for the hopsFast N->N pass — below this the
+    * per-source memoized path wins (finer-grained cross-layer reuse).
+    * var: tests force Int.MaxValue to compare both paths exactly. */
+  @volatile var FastMinSources = 3
 
   /** ExpoTransWeight.maxCost (Weights.cpp:189-196): cutoff10 =
     * ceil(max(hopTimeSec, 60) * 3 * punishFactor * 10). */
@@ -142,12 +146,10 @@ object Viterbi {
       val targets = to.collect { case c if c.dirEdge >= 0 => c.dirEdge }
       val tHash = HopCache.targetsHash(targets)
 
-      // ---- layer-level cutoff doubling (Router.tpp:96-148) ----
-      var cutoff = baseCutoff
-      var step = 0
-      var found = false
-      var done = false
-      while (!done) {
+      // ---- per-source pass (memoized 1->N Dijkstras), optionally
+      // restricted to a target mask (the hopsFast residual fill-in) ----
+      def slowPass(cutoff: Long, onlyTarget: Array[Boolean]): Boolean = {
+        var foundL = false
         var fr = 0
         while (fr < from.length) {
           val fc = from(fr)
@@ -197,7 +199,7 @@ object Viterbi {
               var t2 = 0
               while (t2 < to.length) {
                 val tc = to(t2)
-                if (tc.dirEdge >= 0) {
+                if (tc.dirEdge >= 0 && (onlyTarget == null || onlyTarget(t2))) {
                   // index of this cand's edge in the target array
                   var ti2 = 0
                   while (ti2 < targets.length && targets(ti2) != tc.dirEdge) ti2 += 1
@@ -232,7 +234,7 @@ object Viterbi {
                         costTo(t2) = total
                         predTo(t2) = fr
                         pathTo(t2) = path
-                        found = true
+                        foundL = true
                       }
                     }
                   }
@@ -243,6 +245,160 @@ object Viterbi {
           }
           fr += 1
         }
+        foundL
+      }
+
+      // ---- hopsFast N->N pass (Router.tpp:434-526): ONE multi-source
+      // Dijkstra per layer, each source seeded with its lattice cost as an
+      // init offset, memoized at layer granularity on RELATIVE costs.
+      // Exact for the expo model at transitionPenalty 1 (w == hop), like
+      // the reference, up to the hop>=0 clamp: when a path is shorter than
+      // the un-traversed target tail, the winner is picked pre-clamp (the
+      // reference's offset search shares this). Targets whose winner is
+      // their own seed edge fall back to the per-source pass (the
+      // same-edge special case prices those pairs, never the search). ----
+      def fastPass(cutoff: Long): Boolean = {
+        var foundL = false
+        // scalar same-edge pairs (the special case of the slow path)
+        var t2 = 0
+        while (t2 < to.length) {
+          val tc = to(t2)
+          if (tc.dirEdge >= 0) {
+            var fr = 0
+            while (fr < from.length) {
+              val fc = from(fr)
+              if (fc.dirEdge == tc.dirEdge && costFr(fr) < Inf && tc.progr >= fc.progr) {
+                val srcCost = g.dirCost10(fc.dirEdge)
+                val total = costFr(fr) +
+                  math.round((tc.progr - fc.progr) * srcCost) + tc.pen10
+                if (total < costTo(t2)) {
+                  costTo(t2) = total; predTo(t2) = fr
+                  pathTo(t2) = Array(fc.dirEdge); foundL = true
+                }
+              }
+              fr += 1
+            }
+          }
+          t2 += 1
+        }
+        // seeds: finite-cost real sources with >= 1 same-component target
+        val nF = from.length
+        val seedFr = new Array[Int](nF)
+        val seedDir = new Array[Int](nF)
+        val seedInit = new Array[Long](nF)
+        var nSeeds = 0
+        var minInit = Long.MaxValue
+        var fi = 0
+        while (fi < nF) {
+          val fc = from(fi)
+          if (fc.dirEdge >= 0 && costFr(fi) < Inf) {
+            val srcComp = g.compOfDir(fc.dirEdge)
+            var any = false
+            var ti = 0
+            while (ti < targets.length && !any) {
+              if (g.compOfDir(targets(ti)) == srcComp) any = true
+              ti += 1
+            }
+            if (any) {
+              val srcCost = g.dirCost10(fc.dirEdge)
+              val init = costFr(fi) - math.min(srcCost, math.round(fc.progr * srcCost))
+              seedFr(nSeeds) = fi; seedDir(nSeeds) = fc.dirEdge; seedInit(nSeeds) = init
+              if (init < minInit) minInit = init
+              nSeeds += 1
+            }
+          }
+          fi += 1
+        }
+        if (nSeeds == 0) return foundL
+        val relInits = new Array[Long](nSeeds)
+        val srcs = new Array[Long](2 * nSeeds)
+        var maxRel = 0L
+        var s = 0
+        while (s < nSeeds) {
+          relInits(s) = seedInit(s) - minInit
+          if (relInits(s) > maxRel) maxRel = relInits(s)
+          srcs(2 * s) = (seedDir(s).toLong << 32) |
+            (math.round(from(seedFr(s)).progr * 10000) & 0xffffffffL)
+          srcs(2 * s + 1) = relInits(s)
+          s += 1
+        }
+        val seedDirs = java.util.Arrays.copyOf(seedDir, nSeeds)
+        val key = HopCache.LayerKey(p.cacheCtx, HopCache.srcsHash(srcs), cutoff, tHash)
+        val lv = HopCache.layerGetOrCompute(key, srcs, targets, () => {
+          val cws = WorkspacePool.get(2 * g.numEdges)
+          val fCut =
+            if (cutoff >= Inf / 2 - maxRel) Inf / 2 else maxRel + cutoff
+          Dijkstra.manyToMany(g, cws, seedDirs,
+            java.util.Arrays.copyOf(relInits, nSeeds), targets, fCut,
+            p.turnPen10, heur)
+          val costsRel = new Array[Long](targets.length)
+          val winners = new Array[Int](targets.length)
+          val paths = new Array[Array[Int]](targets.length)
+          var i = 0
+          while (i < targets.length) {
+            val td = targets(i)
+            if (cws.isSettled(td)) {
+              costsRel(i) = cws.costOf(td)
+              paths(i) = Dijkstra.path(cws, -2, td)
+              winners(i) = if (paths(i).nonEmpty) paths(i)(0) else -1
+            } else { costsRel(i) = Inf; winners(i) = -1 }
+            i += 1
+          }
+          HopCache.LayerVal(srcs, targets, costsRel, winners, paths)
+        })
+        // apply per target; self-won targets go to the residual slow pass
+        var residual: Array[Boolean] = null
+        t2 = 0
+        while (t2 < to.length) {
+          val tc = to(t2)
+          if (tc.dirEdge >= 0) {
+            var ti2 = 0
+            while (ti2 < targets.length && targets(ti2) != tc.dirEdge) ti2 += 1
+            if (ti2 < targets.length && lv.costsRel(ti2) < Inf) {
+              val winner = lv.winners(ti2)
+              if (winner == tc.dirEdge) {
+                if (residual == null) residual = new Array[Boolean](to.length)
+                residual(t2) = true
+              } else {
+                // map the winning seed edge back to its from-cand index
+                var si = 0
+                while (si < nSeeds && seedDir(si) != winner) si += 1
+                if (si < nSeeds) {
+                  val fr = seedFr(si)
+                  val cAbs = lv.costsRel(ti2) + minInit
+                  val tgtCost = g.dirCost10(tc.dirEdge)
+                  val tail = math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
+                  val total = math.max(cAbs - tail, costFr(fr)) + tc.pen10
+                  if (total < costTo(t2)) {
+                    costTo(t2) = total; predTo(t2) = fr
+                    pathTo(t2) = lv.paths(ti2); foundL = true
+                  }
+                }
+              }
+            }
+          }
+          t2 += 1
+        }
+        if (residual != null) foundL = slowPass(cutoff, residual) || foundL
+        foundL
+      }
+
+      // ---- layer-level cutoff doubling (Router.tpp:96-148) ----
+      var nRealSrc = 0
+      var fi0 = 0
+      while (fi0 < from.length) {
+        if (from(fi0).dirEdge >= 0 && costFr(fi0) < Inf) nRealSrc += 1
+        fi0 += 1
+      }
+      val useFast = p.transModel == "expo" && p.transitionPenalty == 1.0 &&
+        nRealSrc >= FastMinSources && targets.nonEmpty
+      var cutoff = baseCutoff
+      var step = 0
+      var found = false
+      var done = false
+      while (!done) {
+        val f = if (useFast) fastPass(cutoff) else slowPass(cutoff, null)
+        found = found || f
         done = found || step == MaxDoublingSteps || cutoff >= Inf / 2
         if (!done) { cutoff *= 2; step += 1 }
       }

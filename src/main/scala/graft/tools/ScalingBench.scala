@@ -51,7 +51,8 @@ object ScalingBench {
     * anti-scaling (r2 reported only the total and the collapse could not be
     * attributed to a stage). */
   case class JobSample(phases: Map[String, Double], trips: Long,
-                       gcMs: Long, groups: Long) {
+                       gcMs: Long, groups: Long,
+                       metrics: Map[String, graft.Bench.PhaseM]) {
     def stage: Double =
       phases("cands_join") + phases("viterbi_match") + phases("tile_overlay")
   }
@@ -66,10 +67,17 @@ object ScalingBench {
     val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
     val gcMs = gcMillis() - gc0
     val groups = graft.router.MatcherKernel.KernelGroups.sum() - g0
+    val cores = spark.sparkContext.defaultParallelism
     println(st.phases.map { case (k, v) => f"$k=$v%.2f" }
-      .mkString(s"[phases cores=${spark.sparkContext.defaultParallelism}] ", " ", "") +
+      .mkString(s"[phases cores=$cores] ", " ", "") +
       s" gc_ms=$gcMs groups=$groups")
-    JobSample(st.phases.toMap, st.rows, gcMs, groups)
+    // attribution: executor task-time vs wall — a phase whose wall greatly
+    // exceeds taskMs/cores is driver/scheduling-bound, not executor-bound
+    println(st.phases.map { case (k, wall) =>
+      val m = st.metrics.getOrElse(k, graft.Bench.PhaseM(0, 0, 0))
+      f"$k=${m.taskMs / 1000.0}%.1f/${m.gcMs / 1000.0}%.1f/${m.nTasks}"
+    }.mkString(s"[taskSec/gcSec/nTasks cores=$cores] ", " ", ""))
+    JobSample(st.phases.toMap, st.rows, gcMs, groups, st.metrics)
   }
 
   /** Kernel-only scaling: the same distinct-sequence solves through fixed
@@ -171,7 +179,11 @@ object ScalingBench {
     def phaseMin(par: Int, ph: String): Double = samples(par).map(_.phases(ph)).min
     val phaseTable = phaseNames.map { ph =>
       val a = phaseMin(n, ph); val b = phaseMin(4 * n, ph)
-      f"| $ph | $a%.2f | $b%.2f | ${(a / b) / 4.0}%.2f |"
+      val mA = bestN.metrics.getOrElse(ph, graft.Bench.PhaseM(0, 0, 0))
+      val mB = best4N.metrics.getOrElse(ph, graft.Bench.PhaseM(0, 0, 0))
+      f"| $ph | $a%.2f | $b%.2f | ${(a / b) / 4.0}%.2f " +
+        f"| ${mA.taskMs / 1000.0}%.1f / ${mA.gcMs / 1000.0}%.1f / ${mA.nTasks} " +
+        f"| ${mB.taskMs / 1000.0}%.1f / ${mB.gcMs / 1000.0}%.1f / ${mB.nTasks} |"
     }.mkString("\n")
     val gcLine = f"GC ms (best-stage rep): local[$n]=${bestN.gcMs}, " +
       f"local[${4 * n}]=${best4N.gcMs}; solver groups(tasks): " +
@@ -203,10 +215,13 @@ object ScalingBench {
          |— ${validity(eff)}
          |
          |Per-phase split (best rep per level; measured stage = cands_join +
-         |viterbi_match + tile_overlay):
+         |viterbi_match + tile_overlay). task/gc/n = summed executor task
+         |seconds / executor GC seconds / task count (from the Spark
+         |listener of the best rep) — wall >> task/cores means the phase is
+         |driver- or scheduling-bound:
          |
-         || phase | local[$n] (s) | local[${4 * n}] (s) | efficiency |
-         ||---|---|---|---|
+         || phase | local[$n] (s) | local[${4 * n}] (s) | efficiency | N: task/gc/n | 4N: task/gc/n |
+         ||---|---|---|---|---|---|
          |$phaseTable
          |
          |$gcLine

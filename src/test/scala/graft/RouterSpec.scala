@@ -262,4 +262,38 @@ class RouterSpec extends AnyFunSuite {
     assert(g.isFullTurn(0, 1, 58.0))   // e0 fwd -> e0 rev = U-turn
     assert(!g.isFullTurn(0, 2, 58.0))  // straight on
   }
+  test("hopsFast N->N layer pass matches the per-source slow path exactly (G5)") {
+    // 3 sources x 3 targets with distinct progr offsets and pens — enough
+    // real sources to trigger the fast pass (FastMinSources = 3)
+    val layer0 = Array(
+      Cand(0, 0.25, 5L, 48.0, 7.8025),   // on e0 fwd
+      Cand(2, 0.10, 0L, 48.0, 7.811),    // on e1 fwd
+      Cand(6, 0.50, 3L, 48.005, 7.81))   // on e3 fwd
+    val layer1 = Array(
+      Cand(4, 0.50, 0L, 48.0, 7.825),    // on e2 fwd
+      Cand(6, 0.90, 7L, 48.009, 7.81),   // on e3 fwd
+      Cand(2, 0.80, 2L, 48.0, 7.818))    // on e1 fwd (same-edge pairs exist)
+    val cands = Array(layer0, layer1)
+    def solveBoth(): (SolveResult, SolveResult) = {
+      HopCache.clear()
+      val prev = Viterbi.FastMinSources
+      Viterbi.FastMinSources = Int.MaxValue   // slow reference
+      val slow = Viterbi.solve(g, cands, Array(600.0), noPen)
+      HopCache.clear()
+      Viterbi.FastMinSources = 3              // fast path
+      val fast = Viterbi.solve(g, cands, Array(600.0), noPen)
+      Viterbi.FastMinSources = prev
+      (slow, fast)
+    }
+    val (slow, fast) = solveBoth()
+    assert(fast.totalCost10 == slow.totalCost10)
+    assert(fast.bestCands.toSeq == slow.bestCands.toSeq)
+    assert(fast.hops.map(_.edges.toSeq).toSeq == slow.hops.map(_.edges.toSeq).toSeq)
+    // and a second fast run must serve from the layer memo with the same result
+    val m0 = HopCache.Hits.sum()
+    val fast2 = Viterbi.solve(g, cands, Array(600.0), noPen)
+    assert(fast2.totalCost10 == fast.totalCost10)
+    assert(HopCache.Hits.sum() > m0, "second fast solve should hit the layer memo")
+  }
+
 }
