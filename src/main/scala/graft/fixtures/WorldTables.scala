@@ -35,9 +35,10 @@ object WorldTables {
   def tripStops(t: Tables): DataFrame = {
     import t.stopTimes.sparkSession.implicits._
     t.stopTimes
-      .join(t.stops.select($"stop_id", $"lat", $"lng"), Seq("stop_id"))
+      .join(t.stops.select($"stop_id", $"name".as("stop_name"), $"lat", $"lng"),
+        Seq("stop_id"))
       .join(t.trips.select($"trip_id", $"trip_short_name".as("line_name")), Seq("trip_id"))
       .select($"trip_id", $"seq", $"stop_id", $"arr_s", $"dep_s", $"lat", $"lng",
-        $"line_name")
+        $"line_name", $"stop_name")
   }
 }

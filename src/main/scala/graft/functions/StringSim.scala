@@ -37,6 +37,14 @@ object StringSim {
     "[,;/]" -> " ",
     "\\s+" -> " "))
 
+  /** executor-global compiled-chain cache: UDFs ship RULES (serializable),
+    * each executor compiles + memoizes the chain once (U1 config-driven
+    * chains without re-compiling regexes per row). */
+  private val normCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], Normalizer]()
+  def normalizerFor(rules: Seq[(String, String)]): Normalizer =
+    normCache.computeIfAbsent(rules, r => new Normalizer(r))
+
   private def tokens(s: String): Set[String] =
     if (s == null) Set.empty else s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSet
 
@@ -114,9 +122,12 @@ object StringSim {
   }
 
   /** Station-name match decision used for snap dedup + candidate bonuses
-    * (reference simi > 0.9 for EqSearch; 0.5 for the combined default). */
-  def stationsSimilar(nameA: String, nameB: String, distM: Double): Boolean = {
-    val na = stationNormalizer.norm(nameA); val nb = stationNormalizer.norm(nameB)
+    * (reference simi > 0.9 for EqSearch; 0.5 for the combined default).
+    * The normalizer chain is config-driven (U1) — default chain when the
+    * caller has no OsmConfig at hand. */
+  def stationsSimilar(nameA: String, nameB: String, distM: Double,
+                      norm: Normalizer = stationNormalizer): Boolean = {
+    val na = norm.norm(nameA); val nb = norm.norm(nameB)
     if (na == null || nb == null) return false
     if (na == nb) return true
     jaccardGeoDist(na, nb, distM) > 0.5 ||

@@ -76,7 +76,26 @@ case class OsmConfig(
     simplifyEpsM: Double = 0.5,
     /** extra cost share on edges whose transit lines do NOT match the
       * trip's line (G2 line-unmatched factors, Weights.cpp:65-155) */
-    lineUnmatchedPenaltyFactor: Double = 0.5) {
+    lineUnmatchedPenaltyFactor: Double = 0.5,
+    /** G2 from/to factor split (Weights.cpp:93-118): extra cost share when
+      * the edge line's from/to string does not match the trip's first/last
+      * stop name (name-only statsimi, jaccard > 0.45) */
+    lineFromUnmatchedPenaltyFactor: Double = 0.2,
+    lineToUnmatchedPenaltyFactor: Double = 0.2,
+    /** U1 config-driven normalizer chains (pfaedle.cfg:15-160 shape;
+      * trgraph/Normalizer.cpp:40-58 semantics: ordered case-insensitive
+      * (pattern, replacement) regex rules + lowercase). One chain per
+      * attribute class. */
+    stationNormRules: Seq[(String, String)] = OsmConfig.DefaultStationNormRules,
+    lineNormRules: Seq[(String, String)] = OsmConfig.DefaultLineNormRules,
+    trackNormRules: Seq[(String, String)] = OsmConfig.DefaultTrackNormRules,
+    idNormRules: Seq[(String, String)] = Seq.empty) {
+
+  /** compiled chains (shared per config instance) */
+  @transient lazy val stationNorm = new graft.functions.StringSim.Normalizer(stationNormRules)
+  @transient lazy val lineNorm = new graft.functions.StringSim.Normalizer(lineNormRules)
+  @transient lazy val trackNorm = new graft.functions.StringSim.Normalizer(trackNormRules)
+  @transient lazy val idNorm = new graft.functions.StringSim.Normalizer(idNormRules)
 
   /** 64-bit FNV-1a over the routing-relevant fields — folded into hop-memo
     * keys so the same graph under a changed config never reuses
@@ -86,7 +105,10 @@ case class OsmConfig(
       distPenFactor, nonStationPenaltySec, transitionPenalty, transWeightModel,
       lineUnmatchedPenaltyFactor, levelSpeedsKmh.mkString(","),
       maxOsmStationDistanceM, maxSnapLevel, maxBlockDistanceM,
-      stationBlockerRules.mkString(",")).mkString("|")
+      stationBlockerRules.mkString(","),
+      lineFromUnmatchedPenaltyFactor, lineToUnmatchedPenaltyFactor,
+      (stationNormRules ++ lineNormRules ++ trackNormRules ++ idNormRules)
+        .mkString(",")).mkString("|")
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
@@ -95,6 +117,22 @@ case class OsmConfig(
 }
 
 object OsmConfig {
+  /** default normalizer chains (our own rules, reference-shaped:
+    * pfaedle.cfg station_normalzer/line_normalzer defaults) */
+  val DefaultStationNormRules: Seq[(String, String)] = Seq(
+    "\\(.*\\)" -> "",
+    "\\bstr\\." -> "strasse",
+    "\\bst\\." -> "station",
+    "\\bbhf\\b\\.?" -> "bahnhof",
+    "[,;/]" -> " ",
+    "\\s+" -> " ")
+  val DefaultLineNormRules: Seq[(String, String)] = Seq(
+    "\\bline\\b" -> "", "\\blinie\\b" -> "", "\\bbus\\b" -> "",
+    "\\s+" -> " ")
+  /** track/platform: keep the trailing alphanumeric token ("Gleis 4" -> "4") */
+  val DefaultTrackNormRules: Seq[(String, String)] = Seq(
+    "^.*?([0-9]+[a-z]?)\\s*$" -> "$1")
+
   /** Bus-profile defaults (our own vocabulary, reference-like shape). */
   val bus: OsmConfig = OsmConfig(
     keepWays = Seq(TagRule("highway", "motorway"), TagRule("highway", "trunk"),

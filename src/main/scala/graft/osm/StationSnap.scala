@@ -49,10 +49,12 @@ object StationSnap {
   val BlockMaxSimi = 0.5
 
   /** graded station similarity in [0,1] (max over the statsimi family;
-    * 1.0 for equal normalized names) — EqSearch/BlockSearch thresholds. */
-  def stationSimi(a: String, b: String, distM: Double): Double = {
-    val na = StringSim.stationNormalizer.norm(a)
-    val nb = StringSim.stationNormalizer.norm(b)
+    * 1.0 for equal normalized names) — EqSearch/BlockSearch thresholds.
+    * The normalizer chain is config-driven (U1). */
+  def stationSimi(a: String, b: String, distM: Double,
+                  norm: StringSim.Normalizer = StringSim.stationNormalizer): Double = {
+    val na = norm.norm(a)
+    val nb = norm.norm(b)
     if (na == null || nb == null) return 0.0
     if (na == nb) return 1.0
     math.max(math.max(StringSim.jaccardGeoDist(na, nb, distM),
@@ -233,7 +235,8 @@ object StationSnap {
             val e = w.edges(ei)
             val eqPred = (n: Long) => w.statOf.get(n).exists(sn =>
               stationSimi(name, sn,
-                Geo.haversineM(sLat, sLon, w.nodeLat(n), w.nodeLon(n))) >= EqMinSimi)
+                Geo.haversineM(sLat, sLon, w.nodeLat(n), w.nodeLon(n)),
+                cfg.stationNorm) >= EqMinSimi)
             depthSearch(w, ei, pLat, pLon, 2 * d, 0, cfg.fullTurnAngleDeg, eqPred) match {
               case Some(eq) =>
                 if (!placed.contains(sid)) {
@@ -244,7 +247,8 @@ object StationSnap {
               case None =>
                 val blockPred = (n: Long) => w.blockers.contains(n) ||
                   w.statOf.get(n).exists(sn => stationSimi(name, sn,
-                    Geo.haversineM(sLat, sLon, w.nodeLat(n), w.nodeLon(n))) < BlockMaxSimi)
+                    Geo.haversineM(sLat, sLon, w.nodeLat(n), w.nodeLon(n)),
+                    cfg.stationNorm) < BlockMaxSimi)
                 val blocked = depthSearch(w, ei, pLat, pLon,
                   cfg.maxBlockDistanceM, 0, cfg.fullTurnAngleDeg, blockPred).isDefined
                 if (!blocked) {

@@ -28,6 +28,10 @@ class CompactGraph(
     val geomLon: Array[Array[Double]],
     val edgeLines: Array[Array[String]], // transit line short names per edge
     restrictionsIn: Array[(Long, Long, Long, Boolean)], // (via, fromWay, toWay, positive)
+    /** per-edge transit line from/to strings, aligned with edgeLines — the
+      * G2 name/from/to factor split (RoutingAttrs.h:40-42); null = none */
+    val edgeLinesFrom: Array[Array[String]] = null,
+    val edgeLinesTo: Array[Array[String]] = null,
     /** wrong-way cost shaping (reference defaults: pfaedle.cfg:408-412
       * osm_one_way_speed_penalty_fac 5 / osm_one_way_entry_cost 300) */
     val oneWaySpeedPen: Double = 5.0,
@@ -295,21 +299,28 @@ object CompactGraph {
     * Edge id = index. */
   def fromSegments(segs: Seq[(Long, Long, Double, Int, Long)],
                    coords: Map[Long, (Double, Double)],
-                   restrictions: Seq[(Long, Long, Long, Boolean)] = Nil): CompactGraph = {
+                   restrictions: Seq[(Long, Long, Long, Boolean)] = Nil,
+                   edgeLineTriples: Map[Int, Seq[(String, String, String)]] = Map.empty): CompactGraph = {
     val n = segs.length
     val ids = Array.tabulate(n)(_.toLong)
     val ef = new Array[Long](n); val et = new Array[Long](n)
     val c10 = new Array[Long](n); val lm = new Array[Double](n)
     val ow = new Array[Int](n); val wy = new Array[Long](n)
     val gla = new Array[Array[Double]](n); val glo = new Array[Array[Double]](n)
-    val lines = Array.fill(n)(Array.empty[String])
+    val lines = Array.tabulate(n)(i =>
+      edgeLineTriples.getOrElse(i, Nil).map(_._1).toArray)
+    val linesF = Array.tabulate(n)(i =>
+      edgeLineTriples.getOrElse(i, Nil).map(_._2).toArray)
+    val linesT = Array.tabulate(n)(i =>
+      edgeLineTriples.getOrElse(i, Nil).map(_._3).toArray)
     segs.zipWithIndex.foreach { case ((f, t, cost, o, w), i) =>
       ef(i) = f; et(i) = t; c10(i) = Geo.costToInt(cost); ow(i) = o; wy(i) = w
       val (fl, fo) = coords(f); val (tl, to) = coords(t)
       gla(i) = Array(fl, tl); glo(i) = Array(fo, to)
       lm(i) = Geo.haversineM(fl, fo, tl, to)
     }
-    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, lines, restrictions.toArray)
+    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, lines,
+      restrictions.toArray, edgeLinesFrom = linesF, edgeLinesTo = linesT)
   }
 
   /** Build from the GraphBuilder edges + restrictions DataFrames (collect on
@@ -328,6 +339,7 @@ object CompactGraph {
                 lines: org.apache.spark.sql.DataFrame,
                 turnCycles: org.apache.spark.sql.DataFrame = null): CompactGraph = {
     val hasGeom = edges.columns.contains("geom")
+    import org.apache.spark.sql.functions.{coalesce, col => fcol, lit}
     val rows = (if (hasGeom)
       edges.select(org.apache.spark.sql.functions.col("edge_id"),
         org.apache.spark.sql.functions.col("way_id"),
@@ -346,17 +358,30 @@ object CompactGraph {
       "from_lat", "from_lon", "to_lat", "to_lon", "cost10", "len_m", "oneway"))
       .collect().sortBy(_.getLong(0))
     val n = rows.length
-    val wayToNames: Map[Long, Array[String]] =
+    // (short_name, from_str, to_str) triples per way — G2 needs the
+    // from/to split (RoutingAttrs.h:40-42); columns may be absent on
+    // older line dims
+    val wayToNames: Map[Long, Array[(String, String, String)]] =
       if (wayLines == null || lines == null) Map.empty
-      else wayLines.join(lines, "line_id")
-        .select("way_id", "short_name").collect()
-        .groupBy(_.getLong(0))
-        .map { case (w, rs) => w -> rs.map(_.getString(1)).distinct }
+      else {
+        val hasFt = lines.columns.contains("from_str")
+        wayLines.join(lines, "line_id")
+          .select(fcol("way_id"), coalesce(fcol("short_name"), lit("")),
+            if (hasFt) coalesce(fcol("from_str"), lit("")) else lit(""),
+            if (hasFt) coalesce(fcol("to_str"), lit("")) else lit(""))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (w, rs) =>
+            w -> rs.map(r => (r.getString(1), r.getString(2), r.getString(3))).distinct
+          }
+      }
     val ids = new Array[Long](n); val ef = new Array[Long](n); val et = new Array[Long](n)
     val c10 = new Array[Long](n); val lm = new Array[Double](n)
     val ow = new Array[Int](n); val wy = new Array[Long](n)
     val gla = new Array[Array[Double]](n); val glo = new Array[Array[Double]](n)
     val eln = new Array[Array[String]](n)
+    val elnF = new Array[Array[String]](n)
+    val elnT = new Array[Array[String]](n)
     var i = 0
     while (i < n) {
       val r = rows(i)
@@ -370,7 +395,10 @@ object CompactGraph {
         glo(i) = Array(r.getDouble(5), r.getDouble(7))
       }
       c10(i) = r.getLong(8); lm(i) = r.getDouble(9); ow(i) = r.getInt(10)
-      eln(i) = wayToNames.getOrElse(wy(i), Array.empty)
+      val triples = wayToNames.getOrElse(wy(i), Array.empty)
+      eln(i) = triples.map(_._1)
+      elnF(i) = triples.map(_._2)
+      elnT(i) = triples.map(_._3)
       i += 1
     }
     val restr = restrictions.select("via_node", "from_way", "to_way", "positive")
@@ -379,6 +407,6 @@ object CompactGraph {
       if (turnCycles == null) Array.empty[Long]
       else turnCycles.select("node_id").collect().map(_.getLong(0))
     new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, eln, restr,
-      turnCycleNodesIn = tcy)
+      edgeLinesFrom = elnF, edgeLinesTo = elnT, turnCycleNodesIn = tcy)
   }
 }

@@ -21,13 +21,21 @@ object HopCache {
 
   /** 64-bit mix of graph token, config fingerprint and line name (FNV-1a
     * over the name avoids 32-bit String.hashCode collisions). */
-  def mixCtx(graphToken: Long, cfgFp: Long, lineName: String): Long = {
+  def mixCtx(graphToken: Long, cfgFp: Long, lineName: String): Long =
+    mixCtx(graphToken, cfgFp, Seq(lineName))
+
+  /** variant folding the full routing-attrs identity (line short name +
+    * from/to strings — G2): two attr sets must never share hop entries. */
+  def mixCtx(graphToken: Long, cfgFp: Long, parts: Seq[String]): Long = {
     var h = graphToken * 0x9e3779b97f4a7c15L ^ cfgFp
-    if (lineName != null) {
-      var i = 0
-      while (i < lineName.length) {
-        h = (h ^ lineName.charAt(i)) * 0x100000001b3L
-        i += 1
+    parts.foreach { p =>
+      h = (h ^ 0x1f) * 0x100000001b3L // part separator
+      if (p != null) {
+        var i = 0
+        while (i < p.length) {
+          h = (h ^ p.charAt(i)) * 0x100000001b3L
+          i += 1
+        }
       }
     }
     h

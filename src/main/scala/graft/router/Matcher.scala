@@ -37,8 +37,10 @@ object Matcher {
     import spark.implicits._
     // stop x station candidate pairs via the same k-ring join
     val k = 1
+    val normB = cfg.stationNormRules
     val simUdf = udf((a: String, b: String, d: Double) =>
-      graft.functions.StringSim.stationsSimilar(a, b, d))
+      graft.functions.StringSim.stationsSimilar(a, b, d,
+        graft.functions.StringSim.normalizerFor(normB)))
     val stopRings = stops.select($"stop_id", $"name".as("stop_name"),
         $"lat".as("s_lat"), $"lng".as("s_lng"))
       .withColumn("cell", explode(kring(gcell($"s_lat", $"s_lng", cfg.cellRes), k)))
@@ -227,11 +229,19 @@ object Matcher {
     import tripStops.sparkSession.implicits._
     val hasLine = tripStops.columns.contains("line_name")
     val lineAgg = if (hasLine) first($"line_name") else lit("")
+    // G2 routing attrs: the trip's first/last stop NAMES feed the
+    // from/to line-factor split (RoutingAttrs lineFrom/lineTo); feeds
+    // without a stop_name column degrade to empty = always-similar
+    val hasName = tripStops.columns.contains("stop_name")
+    val fromAgg = if (hasName) min_by($"stop_name", $"seq") else lit("")
+    val toAgg = if (hasName) max_by($"stop_name", $"seq") else lit("")
     tripStops
       .groupBy($"trip_id")
       .agg(sort_array(collect_list(struct($"seq", $"stop_id", $"arr_s", $"dep_s",
         $"lat", $"lng"))).as("stops"),
-        coalesce(lineAgg, lit("")).as("line_name"))
+        coalesce(lineAgg, lit("")).as("line_name"),
+        coalesce(fromAgg, lit("")).as("from_name"),
+        coalesce(toAgg, lit("")).as("to_name"))
       .withColumn("t0", $"stops"(0).getField("dep_s"))
       // the cluster key includes the line identity: trips on different
       // lines cost-shape differently (RoutingAttrs clustering, A2)
@@ -268,7 +278,7 @@ object Matcher {
     val cfgB = spark.sparkContext.broadcast(cfg)
 
     val distinctSeqs = keyed.dropDuplicates("seq_key")
-      .select($"seq_key", $"line_name", $"stops")
+      .select($"seq_key", $"line_name", $"stops", $"from_name", $"to_name")
 
     // Cluster = (line identity, first stop): the reference's RoutingAttrs
     // clustering (A2) refined by the trie-forest split (one trie per first
@@ -297,9 +307,11 @@ object Matcher {
           .cast("int"))
       .select($"seq_key", $"c_line", $"c_stop", $"salt")
     val seqsDs = distinctSeqs.join(saltedKeys, Seq("seq_key"))
-      .select($"c_line", $"c_stop", $"salt", $"seq_key", $"stops")
-      .as[(String, String, Int, String, Seq[Matcher.TS])]
-      .groupByKey { case (line, stop0, salt, _, _) => (line, stop0, salt) }
+      .select($"c_line", $"c_stop", $"salt", $"seq_key", $"stops",
+        coalesce($"from_name", lit("")).as("from_name"),
+        coalesce($"to_name", lit("")).as("to_name"))
+      .as[(String, String, Int, String, Seq[Matcher.TS], String, String)]
+      .groupByKey { case (line, stop0, salt, _, _, _, _) => (line, stop0, salt) }
 
     // Candidates are shipped ONCE PER CLUSTER via cogroup, not once per
     // sequence: the member sequences of a cluster share (almost all of)
@@ -324,7 +336,7 @@ object Matcher {
     // fallback, never silently dropped.
     seqsDs.cogroup(clusterCands) {
       (key: (String, String, Int),
-       seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS])],
+       seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS], String, String)],
        candIt: Iterator[(String, String, Int, String, Long, Double, Long, Double, Double, Int)]) =>
         val line = key._1
         val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
@@ -332,7 +344,11 @@ object Matcher {
             k -> v.map(c => (c._5, c._6, c._7, c._8, c._9, c._10))
           }
         val rows = seqIt.toArray
-        MatcherKernel.solveCluster(line,
+        // G2 routing attrs of this cluster: one lineFrom (same first stop
+        // by construction), the member trips' last-stop names as lineTo
+        val fromName = rows.headOption.map(_._6).getOrElse("")
+        val toNames = rows.map(_._7).distinct
+        MatcherKernel.solveCluster(line, fromName, toNames,
           rows.map(r => (r._4, r._5.toArray)), bcGraph.value, candMap,
           cfgB.value).iterator
     }.toDF()
@@ -425,22 +441,63 @@ object MatcherKernel {
   def clearLineExtraCache(): Unit = LineExtraCache.clear()
 
   /** per-cluster routing knobs: turn-penalty oracle with line-similarity
-    * cost shaping (G2/U6, Weights.cpp:65-155), cutoff widening, memo ctx */
-  def relaxParams(g: CompactGraph, cfg: OsmConfig, lineName: String): Viterbi.RelaxParams = {
+    * cost shaping (G2/U6, Weights.cpp:65-155 name/from/to factor split),
+    * cutoff widening, memo ctx.
+    * @param fromName the trip's first stop name (RoutingAttrs.lineFrom)
+    * @param toNames  last stop names of the cluster's trips (lineTo set) */
+  def relaxParams(g: CompactGraph, cfg: OsmConfig, lineName: String,
+                  fromName: String = "", toNames: Array[String] = Array.empty): Viterbi.RelaxParams = {
     val fullTurnPen10 = Geo.costToInt(cfg.fullTurnPenaltySec)
     val hasRestr = g.hasRestrictions
-    val shapeLines = lineName != null && lineName.nonEmpty &&
-      g.edgeLines.exists(_.nonEmpty)
+    val ln = if (lineName == null) "" else lineName
+    val fn = if (fromName == null) "" else fromName
+    val tns = toNames.filter(t => t != null)
+    val hasAttrs = ln.nonEmpty || fn.nonEmpty || tns.exists(_.nonEmpty)
+    val shapeLines = hasAttrs && g.edgeLines.exists(_.nonEmpty)
+    // name-only statsimi classifier (StatsimiClassifier.cpp:39-42)
+    def nameSim(a: String, b: String): Boolean =
+      graft.functions.StringSim.jaccardSimi(a, b) > 0.45
     def buildExtra(): Array[Long] = Array.tabulate(g.numEdges) { i =>
-      val matches = g.edgeLines(i).exists(n =>
-        graft.functions.StringSim.lineSimi(lineName, n) > 0.5)
-      if (matches) 0L
-      else math.round(g.cost10(i) * cfg.lineUnmatchedPenaltyFactor)
+      // best LineSimilarity over the edge's lines (Weights.cpp:158-172):
+      // an edge with NO line info is fully dissimilar
+      var best = 0 // bit 2 name, bit 1 from, bit 0 to
+      val names = g.edgeLines(i)
+      var li = 0
+      while (li < names.length && best != 7) {
+        val lFrom = if (g.edgeLinesFrom == null || g.edgeLinesFrom(i) == null ||
+          li >= g.edgeLinesFrom(i).length) "" else g.edgeLinesFrom(i)(li)
+        val lTo = if (g.edgeLinesTo == null || g.edgeLinesTo(i) == null ||
+          li >= g.edgeLinesTo(i).length) "" else g.edgeLinesTo(i)(li)
+        // a line with no info at all classifies as fully similar
+        // (RoutingAttrs.h:49-51)
+        val s =
+          if (names(li).isEmpty && lFrom.isEmpty && lTo.isEmpty) 7
+          else {
+            var v = 0
+            if (ln.isEmpty || graft.functions.StringSim.lineSimi(ln, names(li)) > 0.5) v |= 4
+            if (fn.isEmpty || nameSim(lFrom, fn)) v |= 2
+            if (tns.isEmpty || tns.exists(t => t.isEmpty || nameSim(lTo, t))) v |= 1
+            v
+          }
+        if (s > best) best = s
+        li += 1
+      }
+      if (best == 7) 0L
+      else {
+        // multiplicative composition of the three unmatched factors
+        // (Weights.cpp:81-118); config factors are extra fractions
+        var f = 1.0
+        if ((best & 4) == 0) f *= 1.0 + cfg.lineUnmatchedPenaltyFactor
+        if ((best & 2) == 0) f *= 1.0 + cfg.lineFromUnmatchedPenaltyFactor
+        if ((best & 1) == 0) f *= 1.0 + cfg.lineToUnmatchedPenaltyFactor
+        math.round(g.cost10(i) * (f - 1.0))
+      }
     }
+    val attrsKey = (Seq(ln, fn) ++ tns.sorted).mkString(" ")
     val unmatchedExtra10: Array[Long] =
       if (!shapeLines) null
       else if (LineExtraCache.size() >= LineExtraMax) buildExtra()
-      else LineExtraCache.computeIfAbsent((g.token, cfg.fingerprint, lineName),
+      else LineExtraCache.computeIfAbsent((g.token, cfg.fingerprint, attrsKey),
         _ => buildExtra())
     val turnPen: (Int, Int) => Long = (fromDir, toDir) => {
       val via = g.dirTo(fromDir)
@@ -460,15 +517,27 @@ object MatcherKernel {
       transModel = cfg.transWeightModel,
       // the reference widens maxCost by its line-punish factors
       // (Weights.cpp:192-195); our surcharge inflates matched-line paths
-      // by at most lineUnmatchedPenaltyFactor
-      cutoffFactor = if (shapeLines) 1.0 + cfg.lineUnmatchedPenaltyFactor else 1.0,
-      cacheCtx = HopCache.mixCtx(g.token, cfg.fingerprint, lineName))
+      // by at most the product of the three unmatched factors
+      cutoffFactor =
+        if (shapeLines)
+          (1.0 + cfg.lineUnmatchedPenaltyFactor) *
+            (1.0 + cfg.lineFromUnmatchedPenaltyFactor) *
+            (1.0 + cfg.lineToUnmatchedPenaltyFactor)
+        else 1.0,
+      cacheCtx = HopCache.mixCtx(g.token, cfg.fingerprint, Seq(ln, fn) ++ tns.sorted))
   }
 
   /** Solve a whole cluster (same line, same first stop) through the
     * prefix-sharing trip trie — shared prefixes relax once; trips landing
     * on the same leaf share geometry (A3/G4/W4). */
   def solveCluster(lineName: String, seqs: Array[(String, Array[Matcher.TS])],
+                   g: CompactGraph,
+                   candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
+                   cfg: OsmConfig): Array[SolvedSeq] =
+    solveCluster(lineName, "", Array.empty[String], seqs, g, candMap, cfg)
+
+  def solveCluster(lineName: String, fromName: String, toNames: Array[String],
+                   seqs: Array[(String, Array[Matcher.TS])],
                    g: CompactGraph,
                    candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
                    cfg: OsmConfig): Array[SolvedSeq] = {
@@ -481,7 +550,7 @@ object MatcherKernel {
         solveOneImpl(k, lineName, stops, g, candMap, cfg)
       }
       val tp0 = System.nanoTime()
-      val p = relaxParams(g, cfg, lineName)
+      val p = relaxParams(g, cfg, lineName, fromName, toNames)
       ParamsNanos.add(System.nanoTime() - tp0)
       val solved = TrieSolver.buildForest(multi).flatMap { trie =>
         val ts0 = System.nanoTime()

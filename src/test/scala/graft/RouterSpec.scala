@@ -296,4 +296,52 @@ class RouterSpec extends AnyFunSuite {
     assert(HopCache.Hits.sum() > m0, "second fast solve should hit the layer memo")
   }
 
+  test("G2 from/to line-factor split: same short name, wrong terminals loses (Weights.cpp:93-118)") {
+    // two parallel equal-cost chains B->C: e1 (way 150) and a twin via E
+    // (e3+e4). Both carry line "L1", but e1's relation says X->Y while the
+    // twin's says P->Q. A trip on L1 from "X" to "Y" must prefer e1; with
+    // no from/to attrs the twin (cheaper base cost 6+6=12 > 6... use equal)
+    val coords2 = coords + (6L -> (48.005, 7.815))
+    val segs2 = Seq(
+      (1L, 2L, 10.0, 0, 100L),  // e0 A-B (no line)
+      (2L, 3L, 20.0, 0, 150L),  // e1 B-C direct, line L1 X->Y
+      (2L, 6L, 8.0, 0, 210L),   // e2 B-F \  twin, line L1 P->Q
+      (6L, 3L, 8.0, 0, 210L),   // e3 F-C /   (base cost 16 < 20: wins raw)
+      (3L, 4L, 10.0, 0, 160L))  // e4 C-D (no line; equal tail for both)
+    val lines = Map(
+      1 -> Seq(("L1", "X", "Y")),
+      2 -> Seq(("L1", "P", "Q")),
+      3 -> Seq(("L1", "P", "Q")))
+    val g2 = CompactGraph.fromSegments(segs2, coords2, edgeLineTriples = lines)
+    val cfg = graft.osm.OsmConfig.bus.copy(
+      lineFromUnmatchedPenaltyFactor = 0.5, lineToUnmatchedPenaltyFactor = 0.5)
+    val cands = Array(
+      Array(Cand(0, 1.0, 0L, 48.0, 7.810)),   // at B, end of e0
+      Array(Cand(8, 0.5, 0L, 48.0, 7.825)))   // mid e4 past C
+    def route(fromName: String, toNames: Array[String]): Set[Long] = {
+      HopCache.clear()
+      val p = graft.router.MatcherKernel.relaxParams(g2, cfg, "L1", fromName, toNames)
+      val res = Viterbi.solve(g2, cands, Array(600.0), p.turnPen10,
+        cutoffFactor = p.cutoffFactor, cacheCtx = p.cacheCtx)
+      res.hops(0).edges.map(de => g2.edgeIds(de >> 1)).toSet
+    }
+    // without terminal attrs the twin's lower base cost wins
+    assert(route("", Array.empty) == Set(0L, 2L, 3L, 4L))
+    // with X->Y attrs the twin pays from+to surcharges and loses
+    assert(route("X", Array("Y")) == Set(0L, 1L, 4L))
+  }
+
+  test("U1 config-driven normalizer chains change station similarity") {
+    import graft.functions.StringSim
+    // default chain: "Hauptbahnhof" vs "Hbf." are NOT equal
+    assert(!StringSim.stationsSimilar("Hauptbahnhof", "Hbf.", 500.0))
+    // a config chain mapping the abbreviation makes them equal
+    val cfg = graft.osm.OsmConfig.bus.copy(stationNormRules =
+      graft.osm.OsmConfig.DefaultStationNormRules ++ Seq("\\bhbf\\b\\.?" -> "hauptbahnhof"))
+    assert(StringSim.stationsSimilar("Hauptbahnhof", "Hbf.", 500.0, cfg.stationNorm))
+    // and the chain feeds StationSnap similarity too
+    assert(graft.osm.StationSnap.stationSimi("Hauptbahnhof", "Hbf.", 500.0,
+      cfg.stationNorm) == 1.0)
+  }
+
 }
