@@ -42,6 +42,14 @@ object DedupOps {
     * ~7M, a 46x cut). */
   val DefaultDfCapFrac = 0.10
 
+  /** ABSOLUTE ceiling on gram document frequency: a purely fractional cap
+    * still admits k = frac*N docs per gram, i.e. k^2 = (frac*N)^2 pair rows
+    * — unbounded in corpus size. With the absolute ceiling the worst-case
+    * pair count per gram is DfCapAbs^2 regardless of N; docs more similar
+    * than that are caught by the MinHash-LSH path, the intended verifier at
+    * corpus scale. */
+  val DfCapAbs = 10000L
+
   /** n-gram Jaccard similarity with a document-frequency cap: grams in more
     * than dfCapFrac of all docs are excluded from the universe (both the
     * intersection AND the set sizes — a consistent filtered-Jaccard), then
@@ -59,7 +67,7 @@ object DedupOps {
     val total = docs.select(count(lit(1)).as("n_docs"))
     val df = g.groupBy($"h").agg(count(lit(1)).as("df"))
     val hotGrams = df.crossJoin(broadcast(total))
-      .filter($"df" > floor($"n_docs" * dfCapFrac))
+      .filter($"df" > least(floor($"n_docs" * dfCapFrac), lit(DfCapAbs)))
       .select($"h")
     val kept = g.join(broadcast(hotGrams), Seq("h"), "left_anti")
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))

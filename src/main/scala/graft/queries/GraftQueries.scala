@@ -463,7 +463,8 @@ object GraftQueries {
          |total AS (SELECT count(*) AS n_docs FROM documents),
          |df AS (SELECT h, count(*) AS df FROM gh GROUP BY 1),
          |kept AS (SELECT gh.doc_id, gh.h FROM gh JOIN df USING (h), total
-         |  WHERE df.df <= floor(n_docs * ${DedupOps.DefaultDfCapFrac})),
+         |  WHERE df.df <= least(floor(n_docs * ${DedupOps.DefaultDfCapFrac}),
+         |                       ${DedupOps.DfCapAbs})),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
