@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: G1's concurrent cycles interacted badly with
+  // the bench's allocation bursts at 32 threads (multi-second stop-world
+  // storms measured as 200-300 s of task GC); batch pipelines want the
+  // parallel collector
+  "-XX:+UseParallelGC",
 )

@@ -148,10 +148,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // bound AQE plan-description stringification: with deep lineage,
-      // onUpdatePlan -> explainString is quadratic and can dominate the
-      // driver (minutes of CPU inside StringConcat at toy data sizes)
-      .config("spark.sql.maxPlanStringLength", "16384")
+      // plan strings are structurally bounded now (lineage checkpoints at
+      // the diamond choke points cut the r2-era 45M-char expansions to
+      // <~120k); the cap is a backstop against regressions, set above the
+      // legitimate maximum so a default run logs zero truncation warnings
+      .config("spark.sql.maxPlanStringLength", "262144")
+      // shuffle/checkpoint blocks on tmpfs: this sandbox has ONE shared
+      // virtual disk, so at 32 concurrent tasks the shuffle writers
+      // serialize on it (jstack: write0/copyMemory/unmap dominated the
+      // match stage) — an artifact of the single-node proxy, not of the
+      // design: a real N-executor cluster brings N local disks whose
+      // aggregate bandwidth scales WITH the executors being measured
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(spark)

@@ -164,29 +164,26 @@ object Matcher {
     // lineage made AQE's per-update plan stringification quadratic)
     val solved = solveKeyedSeqs(spark, keyed, cands, graph, cfg).localCheckpoint()
 
-    // join back: every trip gets its sequence's points (skew: AQE handles)
+    // join back ONCE: the solved table carries the heavy per-sequence
+    // payload (points/anchors/hops arrays); joining it separately for each
+    // of the three outputs shuffled that payload three times — jstack'd as
+    // the dominant cost of the whole match stage at high core counts
+    // (shuffle file IO + copyMemory). One join, checkpointed, three narrow
+    // explodes. The W2 cumulative measure is accumulated in the kernel
+    // during geometry materialization (same haversine running sum the
+    // window computed — without a 10^7-row sort).
     val seqKeys = keyed.select($"trip_id", $"seq_key").distinct()
-    val tripPoints = seqKeys.join(solved, Seq("seq_key"))
+    val joined = seqKeys.join(solved, Seq("seq_key")).localCheckpoint()
+    val shapes = joined
       .select($"trip_id".as("shape_id"), explode($"points").as("pt"))
-      .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"))
-    val anchors = seqKeys.join(solved, Seq("seq_key"))
+      .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"),
+        $"pt.dist".cast("float").as("travel_dist"))
+    val anchors = joined
       .select($"trip_id", posexplode($"anchors").as(Seq("stop_idx", "point_seq")))
-    val hops = seqKeys.join(solved, Seq("seq_key"))
+    val hops = joined
       .select($"trip_id", explode($"hops").as("h"))
       .select($"trip_id", $"h.hop_idx".as("hop_idx"),
         $"h.edge_ids".as("edge_ids"), $"h.reachable".as("reachable"))
-
-    // W2: cumulative measure as a running window sum (monotone by construction)
-    val w = Window.partitionBy($"shape_id").orderBy($"seq")
-    val shapes = tripPoints
-      .withColumn("prev_lat", lag($"lat", 1).over(w))
-      .withColumn("prev_lng", lag($"lng", 1).over(w))
-      .withColumn("seg_m", when($"prev_lat".isNull, lit(0.0))
-        .otherwise(haversineM($"prev_lat", $"prev_lng", $"lat", $"lng")))
-      .withColumn("travel_dist",
-        sum($"seg_m").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("float"))
-      .select($"shape_id", $"seq", $"lat", $"lng", $"travel_dist")
     MatchResult(shapes, anchors, hops)
   }
 
@@ -244,15 +241,20 @@ object Matcher {
         coalesce(toAgg, lit("")).as("to_name"))
       .withColumn("t0", $"stops"(0).getField("dep_s"))
       // the cluster key includes the line identity: trips on different
-      // lines cost-shape differently (RoutingAttrs clustering, A2)
-      .withColumn("seq_key", conv(xxhash64(concat(to_json(
+      // lines cost-shape differently (RoutingAttrs clustering, A2).
+      // xxhash64 hashes the struct ARRAY natively — the r2 to_json
+      // serialization ran Jackson per trip row and showed up in stack
+      // profiles of the match stage
+      .withColumn("seq_key", conv(xxhash64(
         transform($"stops", x => struct(x.getField("stop_id").as("s"),
           (x.getField("arr_s") - $"t0").as("a"),
-          (x.getField("dep_s") - $"t0").as("d")))), $"line_name")), 10, 16))
+          (x.getField("dep_s") - $"t0").as("d"))), $"line_name"), 10, 16))
       .drop("t0")
   }
 
-  case class ShapePoint(seq: Int, lat: Double, lng: Double)
+  /** dist = cumulative haversine meters along the (simplified) shape —
+    * the W2 measure, accumulated at materialization */
+  case class ShapePoint(seq: Int, lat: Double, lng: Double, dist: Double)
   case class HopRow(hop_idx: Int, edge_ids: Array[Long], reachable: Boolean)
   /** one snap candidate row as shipped to the kernel (encoder-compatible) */
   case class CandRow(stop_id: String, edge_id: Long, progr: Double,
@@ -493,7 +495,7 @@ object MatcherKernel {
         math.round(g.cost10(i) * (f - 1.0))
       }
     }
-    val attrsKey = (Seq(ln, fn) ++ tns.sorted).mkString(" ")
+    val attrsKey = (Seq(ln, fn) ++ tns.sorted).mkString("\u0000")
     val unmatchedExtra10: Array[Long] =
       if (!shapeLines) null
       else if (LineExtraCache.size() >= LineExtraMax) buildExtra()
@@ -659,7 +661,15 @@ object MatcherKernel {
     val hopRows = res.hops.zipWithIndex.map { case (h, i) =>
       Matcher.HopRow(i, h.edges.map(de => g.edgeIds(de >> 1)), h.reachable)
     }
-    (pts.zipWithIndex.map { case ((la, lo), i) => ShapePoint(i, la, lo) }.toArray,
-      anchors, hopRows, unroutable)
+    val out = new Array[ShapePoint](pts.length)
+    var cum = 0.0
+    var pi = 0
+    while (pi < pts.length) {
+      val (la, lo) = pts(pi)
+      if (pi > 0) cum += Geo.haversineM(pts(pi - 1)._1, pts(pi - 1)._2, la, lo)
+      out(pi) = ShapePoint(pi, la, lo, cum)
+      pi += 1
+    }
+    (out, anchors, hopRows, unroutable)
   }
 }
