@@ -78,11 +78,12 @@ object Bench {
     val t = WorldTables(spark, world)
     val cfg = OsmConfig.bus
 
-    val (gt0, tGraph) = timed {
+    val (gbx, tGraph) = timed {
       val bbox = GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
       val g = GraphBuilder.build(spark, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
-      g.edges.cache().count(); g
+      g.edges.cache().count(); (g, bbox)
     }
+    val (gt0, bbox) = gbx
     phases += ("graph_build" -> tGraph)
     mark("graph_build")
 
@@ -105,7 +106,9 @@ object Bench {
       // station simi joins) is referenced by the solve AND the join-backs;
       // truncating keeps downstream AQE plan strings bounded.
       val c = Matcher.buildCandsWithStations(spark, t.stops, gt.edges,
-        gt.stations, cfg).localCheckpoint()
+        gt.stations, cfg,
+        maxAbsLat = Some(math.max(math.abs(bbox.latMin), math.abs(bbox.latMax))))
+        .localCheckpoint()
       c.count(); c
     }
     phases += ("cands_join" -> tCands)

@@ -33,7 +33,8 @@ object Matcher {
     * (OsmBuilder.cpp:1231-1313, StatsimiClassifier.cpp). Non-station
     * candidates get nonStationPenaltySec added. stops must carry `name`. */
   def buildCandsWithStations(spark: SparkSession, stops: DataFrame, edges: DataFrame,
-                             stations: DataFrame, cfg: OsmConfig): DataFrame = {
+                             stations: DataFrame, cfg: OsmConfig,
+                             maxAbsLat: Option[Double] = None): DataFrame = {
     import spark.implicits._
     // stop x station candidate pairs via the same k-ring join
     val k = 1
@@ -60,7 +61,7 @@ object Matcher {
         struct($"d_m", $"node_id")).as("b"))
       .select($"stop_id", $"b.node_id".as("best_node"),
         $"b.st_lat".as("b_lat"), $"b.st_lon".as("b_lon"))
-    val cands = buildCands(spark, stops, edges, cfg)
+    val cands = buildCands(spark, stops, edges, cfg, maxAbsLat)
     val nonStationPen10 = graft.geo.Geo.costToInt(cfg.nonStationPenaltySec)
     // an edge is a "station candidate" if either endpoint is a similar station
     val edgeEnds = edges.select($"edge_id", $"from_id", $"to_id")
@@ -87,10 +88,13 @@ object Matcher {
     * stops(stop_id, lat, lng); edges from GraphBuilder.
     * Returns cands(stop_id, edge_id, progr, pen10, py, px, dist_m, oneway). */
   def buildCands(spark: SparkSession, stops: DataFrame, edges: DataFrame,
-                 cfg: OsmConfig): DataFrame = {
+                 cfg: OsmConfig, maxAbsLatOpt: Option[Double] = None): DataFrame = {
     import spark.implicits._
-    // ring radius from the worst-case (highest) latitude in the feed
-    val maxAbsLat = stops.agg(max(abs(col("lat")))).head().getDouble(0)
+    // ring radius from the worst-case (highest) latitude in the feed —
+    // callers that already computed the feed bbox pass it in (the agg is
+    // otherwise a blocking driver round trip on the latency floor)
+    val maxAbsLat = maxAbsLatOpt.getOrElse(
+      stops.agg(max(abs(col("lat")))).head().getDouble(0))
     val k = Cell.kForMeters(cfg.maxSnapDistanceM, maxAbsLat, cfg.cellRes)
     val stopRings = stops
       .select($"stop_id", $"lat".as("s_lat"), $"lng".as("s_lng"))
