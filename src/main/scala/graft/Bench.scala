@@ -13,6 +13,30 @@ import graft.router.{CompactGraph, Matcher}
   * pipeline on a larger synthetic world, plus every catalog query on
   * SPARK_GRAFT_SF_DIR. Prints ONE JSON line. */
 object Bench {
+  /** Shuffle/checkpoint block directory for bench sessions. Default is
+    * tmpfs (/dev/shm): this sandbox has ONE shared virtual disk, so at 32
+    * concurrent tasks the shuffle writers serialize on it — an artifact of
+    * the single-node proxy (a real N-executor cluster brings N local disks
+    * whose aggregate bandwidth scales with the executors measured). Gated:
+    * SPARK_GRAFT_LOCAL_DIR overrides (set it to a disk path when the bench
+    * world's shuffle volume would compete with the heap for physical
+    * memory), and the directory is wiped at session start — tmpfs blocks
+    * from a crashed previous run are pure RAM waste. */
+  def benchLocalDir(): String = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+      else System.getProperty("java.io.tmpdir") + "/graft-spark-local")
+    val f = new java.io.File(dir)
+    if (f.isDirectory) {
+      def rm(x: java.io.File): Unit = {
+        val cs = x.listFiles(); if (cs != null) cs.foreach(rm); x.delete(); ()
+      }
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+    }
+    f.mkdirs()
+    dir
+  }
+
   /** per-phase Spark task metrics: (executor task ms, executor GC ms,
     * task count) — wall >> taskMs/cores means the phase is driver- or
     * scheduling-bound, not executor-bound. */
@@ -156,13 +180,7 @@ object Bench {
       // <~120k); the cap is a backstop against regressions, set above the
       // legitimate maximum so a default run logs zero truncation warnings
       .config("spark.sql.maxPlanStringLength", "262144")
-      // shuffle/checkpoint blocks on tmpfs: this sandbox has ONE shared
-      // virtual disk, so at 32 concurrent tasks the shuffle writers
-      // serialize on it (jstack: write0/copyMemory/unmap dominated the
-      // match stage) — an artifact of the single-node proxy, not of the
-      // design: a real N-executor cluster brings N local disks whose
-      // aggregate bandwidth scales WITH the executors being measured
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.local.dir", benchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(spark)
@@ -188,12 +206,27 @@ object Bench {
     val throughput = stats.rows / math.max(1e-9, matchSec)
 
     // catalog queries on the sf dir — a broken query must FAIL the bench,
-    // not silently record the time-to-throw as a fast run
-    graft.queries.GraftQueries.all.toSeq.sortBy(_._1).foreach { case (name, (fn, _)) =>
+    // not silently record the time-to-throw as a fast run. MEDIAN of 3
+    // interleaved reps per query (same discipline as the pipeline phases):
+    // a single cold shot on this host cannot distinguish an 8x regression
+    // from a steal burst (r3 printed q_simhash at 18 s with a byte-
+    // identical plan). Interleaving spreads a burst across queries instead
+    // of concentrating it on one.
+    val catNames = graft.queries.GraftQueries.all.keys.toSeq.sorted
+    val catTimes = scala.collection.mutable.Map[String, Vector[Double]]()
+    for (_ <- 1 to 3; name <- catNames) {
+      val (fn, _) = graft.queries.GraftQueries.all(name)
       val (_, sec) = timed {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
-      results(name) = sec
+      catTimes(name) = catTimes.getOrElse(name, Vector.empty) :+ sec
+    }
+    catNames.foreach { name =>
+      val ts = catTimes(name).sorted
+      results(name) = ts(ts.length / 2)
+      if (ts.last > 3 * ts.head)
+        println(f"[bench-outlier] $name reps=${ts.map(t => f"$t%.2f").mkString(",")} " +
+          "(spread > 3x: host stall hit a rep; median reported)")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -58,18 +58,25 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, threshold: Double,
                    dfCapFrac: Double = DefaultDfCapFrac): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = gramHashes(docs).cache()
+    // localCheckpoint, not cache: g is consumed by three downstream plans
+    // and materializes right here; checkpoint blocks are released when the
+    // plan is GC'd, while a cache() entry pins executor memory until an
+    // explicit unpersist no caller ever issues (the r3 leak).
+    val g = gramHashes(docs).localCheckpoint()
     // DF cut: one tiny broadcast of the total count, one agg over grams.
-    // Broadcast the SMALL side: hot grams (df > cap) are by construction
-    // few (each needs > dfCapFrac of all docs, so there can be at most
-    // 1/dfCapFrac of them) — broadcasting the kept set instead would push
-    // nearly the whole distinct-gram universe through the driver.
+    // The hot-gram side is SMALL relative to the gram universe but not
+    // constant: under the absolute ceiling its count is bounded by
+    // totalGramOccurrences / DfCapAbs, which grows linearly with the
+    // corpus — so no compile-time broadcast hint (a forced broadcast
+    // would hit driver/broadcast limits at exactly the corpus scale
+    // DfCapAbs targets); AQE picks a broadcast anti-join at runtime
+    // whenever the measured hot set is actually small.
     val total = docs.select(count(lit(1)).as("n_docs"))
     val df = g.groupBy($"h").agg(count(lit(1)).as("df"))
     val hotGrams = df.crossJoin(broadcast(total))
       .filter($"df" > least(floor($"n_docs" * dfCapFrac), lit(DfCapAbs)))
       .select($"h")
-    val kept = g.join(broadcast(hotGrams), Seq("h"), "left_anti")
+    val kept = g.join(hotGrams, Seq("h"), "left_anti")
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

@@ -33,7 +33,7 @@ case class GraphEdge(edge_id: Long, from_id: Long, to_id: Long,
                      lvl: Int, oneway: Int, // 0 both, 1 fwd only, 2 rev only
                      comp_id: Long,
                      lines: Array[Int], cells: Array[Long])
-case class TransitLine(line_id: Int, short_name: String, from_str: String,
+case class TransitLine(line_id: Long, short_name: String, from_str: String,
                        to_str: String, color: Int)
 case class TurnRestriction(via_node: Long, from_way: Long, to_way: Long, positive: Boolean)
 

@@ -389,10 +389,13 @@ object GraphBuilder {
         $"tags".getItem("to").as("to_str"),
         $"tags".getItem("colour").as("colour"),
         expr("transform(filter(members, m -> m.mtype = 1), m -> m.ref)").as("way_ids"))
+    // deterministic id = hash of the full identity (incl. colour): the r3
+    // row_number() ran a single-partition global window (the WindowExec
+    // warn spam, an anti-scale sort) AND ordered on a strict subset of the
+    // distinct key, so two colours of one line got nondeterministic ids
     val lineDim = routeRels
       .select($"short_name", $"from_str", $"to_str", $"colour").distinct()
-      .withColumn("line_id", row_number().over(
-        Window.orderBy($"short_name", $"from_str", $"to_str")).cast("int"))
+      .withColumn("line_id", xxhash64($"short_name", $"from_str", $"to_str", $"colour"))
     val wayLines = routeRels
       .join(lineDim, Seq("short_name", "from_str", "to_str", "colour"))
       .select(explode($"way_ids").as("way_id"), $"line_id")

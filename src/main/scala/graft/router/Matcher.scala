@@ -312,11 +312,23 @@ object Matcher {
           greatest(lit(1L), ceil($"n_cl" / lit(MaxSeqsPerGroup.toDouble)).cast("long")))
           .cast("int"))
       .select($"seq_key", $"c_line", $"c_stop", $"salt")
+    // the cluster's lineTo set is computed on the UNSALTED key and
+    // broadcast back to every salted sub-group: sub-groups seeing only
+    // their own rows' to_names would get different RoutingAttrs identities
+    // (different line-surcharge arrays and hop-memo ctx), so a cluster's
+    // routing would vary with the salt partition and the HopCache hit
+    // recovery across sub-groups would vanish for multi-terminal lines
+    val clToNames = slimKeys
+      .join(distinctSeqs.select($"seq_key", coalesce($"to_name", lit("")).as("tn")),
+        Seq("seq_key"))
+      .groupBy($"c_line", $"c_stop")
+      .agg(sort_array(collect_set($"tn")).as("cl_to_names"))
     val seqsDs = distinctSeqs.join(saltedKeys, Seq("seq_key"))
+      .join(broadcast(clToNames), Seq("c_line", "c_stop"))
       .select($"c_line", $"c_stop", $"salt", $"seq_key", $"stops",
         coalesce($"from_name", lit("")).as("from_name"),
-        coalesce($"to_name", lit("")).as("to_name"))
-      .as[(String, String, Int, String, Seq[Matcher.TS], String, String)]
+        $"cl_to_names")
+      .as[(String, String, Int, String, Seq[Matcher.TS], String, Seq[String])]
       .groupByKey { case (line, stop0, salt, _, _, _, _) => (line, stop0, salt) }
 
     // Candidates are shipped ONCE PER CLUSTER via cogroup, not once per
@@ -342,7 +354,7 @@ object Matcher {
     // fallback, never silently dropped.
     seqsDs.cogroup(clusterCands) {
       (key: (String, String, Int),
-       seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS], String, String)],
+       seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS], String, Seq[String])],
        candIt: Iterator[(String, String, Int, String, Long, Double, Long, Double, Double, Int)]) =>
         val line = key._1
         val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
@@ -351,9 +363,10 @@ object Matcher {
           }
         val rows = seqIt.toArray
         // G2 routing attrs of this cluster: one lineFrom (same first stop
-        // by construction), the member trips' last-stop names as lineTo
+        // by construction), the PHYSICAL cluster's full lineTo set (shared
+        // across salted sub-groups — one RoutingAttrs identity per cluster)
         val fromName = rows.headOption.map(_._6).getOrElse("")
-        val toNames = rows.map(_._7).distinct
+        val toNames = rows.headOption.map(_._7.toArray).getOrElse(Array.empty[String])
         MatcherKernel.solveCluster(line, fromName, toNames,
           rows.map(r => (r._4, r._5.toArray)), bcGraph.value, candMap,
           cfgB.value).iterator

@@ -103,7 +103,6 @@ object TrieSolver {
   def solveTrie(g: CompactGraph, trie: Trie, layerOf: Node => Array[Cand],
                 p: Viterbi.RelaxParams): Seq[LeafResult] = {
     val Inf = Dijkstra.Inf
-    val ws = WorkspacePool.get(2 * g.numEdges)
     val n = trie.nodes.length
     val groups = new Array[Array[Cand]](n)
     val cost = new Array[Array[Long]](n)
@@ -164,7 +163,7 @@ object TrieSolver {
           // routing hop: scheduled time from the trie's averaged node times
           val sched = math.max(1.0, toNd.avgTime - frNd.avgTime)
           val hopD = Geo.haversineM(frNd.lat, frNd.lng, toNd.lat, toNd.lng)
-          Viterbi.relaxLayer(g, ws, frG, toG, cost(fr), cost(to), pred(to),
+          Viterbi.relaxLayer(g, frG, toG, cost(fr), cost(to), pred(to),
             path(to), sched, hopD, p)
         }
         stack.push(to)

@@ -78,7 +78,7 @@ object Viterbi {
     * fallback ladder): costTo/predTo/pathTo are updated for every to-cand
     * whose best predecessor improved. The reusable core of both the linear
     * chain solve and the trip-trie DAG solve. */
-  def relaxLayer(g: CompactGraph, ws: RouterWorkspace,
+  def relaxLayer(g: CompactGraph,
                  from: Array[Cand], to: Array[Cand],
                  costFr: Array[Long], costTo: Array[Long],
                  predTo: Array[Int], pathTo: Array[Array[Int]],
@@ -148,12 +148,14 @@ object Viterbi {
 
       // ---- per-source pass (memoized 1->N Dijkstras), optionally
       // restricted to a target mask (the hopsFast residual fill-in) ----
-      def slowPass(cutoff: Long, onlyTarget: Array[Boolean]): Boolean = {
+      def slowPass(cutoff: Long, onlyTarget: Array[Boolean],
+                   onlySource: Array[Boolean] = null): Boolean = {
         var foundL = false
         var fr = 0
         while (fr < from.length) {
           val fc = from(fr)
-          if (costFr(fr) < Inf && fc.dirEdge >= 0 && targets.nonEmpty) {
+          if ((onlySource == null || onlySource(fr)) &&
+              costFr(fr) < Inf && fc.dirEdge >= 0 && targets.nonEmpty) {
             // init cost: remaining part of the source edge after progr —
             // Router.tpp progression offset math, in deciseconds.
             // Dijkstra pays the FULL source edge cost, so subtract the
@@ -310,6 +312,34 @@ object Viterbi {
           fi += 1
         }
         if (nSeeds == 0) return foundL
+        // seeds whose RELATIVE init would overflow the 32-bit-packed heap
+        // are excluded and their pairs searched per-source instead:
+        // manyToMany never enqueues f >= Int.MaxValue, so such a seed (a
+        // lattice poisoned by the Inf/200*100 null-candidate fallback can
+        // spread inits by ~5.8e17 deciseconds) would silently drop from
+        // the N->N search and its only-reachable-from-here targets would
+        // degrade to the fallback ladder.
+        val SafeRelInit = Int.MaxValue.toLong / 2
+        var overflowSrc: Array[Boolean] = null
+        var keepSeeds = 0
+        var s0 = 0
+        while (s0 < nSeeds) {
+          if (seedInit(s0) - minInit > SafeRelInit) {
+            if (overflowSrc == null) overflowSrc = new Array[Boolean](nF)
+            overflowSrc(seedFr(s0)) = true
+          } else {
+            seedFr(keepSeeds) = seedFr(s0); seedDir(keepSeeds) = seedDir(s0)
+            seedInit(keepSeeds) = seedInit(s0)
+            keepSeeds += 1
+          }
+          s0 += 1
+        }
+        nSeeds = keepSeeds
+        if (nSeeds == 0) {
+          if (overflowSrc != null)
+            foundL = slowPass(cutoff, null, overflowSrc) || foundL
+          return foundL
+        }
         val relInits = new Array[Long](nSeeds)
         val srcs = new Array[Long](2 * nSeeds)
         var maxRel = 0L
@@ -366,12 +396,23 @@ object Viterbi {
                 if (si < nSeeds) {
                   val fr = seedFr(si)
                   val cAbs = lv.costsRel(ti2) + minInit
-                  val tgtCost = g.dirCost10(tc.dirEdge)
-                  val tail = math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
-                  val total = math.max(cAbs - tail, costFr(fr)) + tc.pen10
-                  if (total < costTo(t2)) {
-                    costTo(t2) = total; predTo(t2) = fr
-                    pathTo(t2) = lv.paths(ti2); foundL = true
+                  if (cAbs - costFr(fr) > cutoff) {
+                    // the shared fCut (maxRel + cutoff) admitted this pair
+                    // through another seed's offset, but its own per-source
+                    // hop exceeds the layer cutoff — defer to the
+                    // per-source pass, which applies the cutoff exactly
+                    // (keeps the doubling step at which a pair is "found"
+                    // aligned with the slow path)
+                    if (residual == null) residual = new Array[Boolean](to.length)
+                    residual(t2) = true
+                  } else {
+                    val tgtCost = g.dirCost10(tc.dirEdge)
+                    val tail = math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
+                    val total = math.max(cAbs - tail, costFr(fr)) + tc.pen10
+                    if (total < costTo(t2)) {
+                      costTo(t2) = total; predTo(t2) = fr
+                      pathTo(t2) = lv.paths(ti2); foundL = true
+                    }
                   }
                 }
               }
@@ -380,6 +421,8 @@ object Viterbi {
           t2 += 1
         }
         if (residual != null) foundL = slowPass(cutoff, residual) || foundL
+        if (overflowSrc != null)
+          foundL = slowPass(cutoff, null, overflowSrc) || foundL
         foundL
       }
 
@@ -461,7 +504,6 @@ object Viterbi {
     val nLayers = cands.length
     require(nLayers >= 1 && schedSec.length == nLayers - 1)
     val Inf = Dijkstra.Inf
-    val ws = WorkspacePool.get(2 * g.numEdges)
     val p = RelaxParams(turnPen10, vmaxMs, transitionPenalty, transModel,
       cutoffFactor, cacheCtx)
 
@@ -480,7 +522,7 @@ object Viterbi {
 
     var layer = 0
     while (layer < nLayers - 1) {
-      relaxLayer(g, ws, cands(layer), cands(layer + 1),
+      relaxLayer(g, cands(layer), cands(layer + 1),
         cost(layer), cost(layer + 1), pred(layer + 1), bestPath(layer + 1),
         schedSec(layer), if (hopDistM == null) 0.0 else hopDistM(layer), p)
       layer += 1

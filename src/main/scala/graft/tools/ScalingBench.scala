@@ -35,13 +35,9 @@ object ScalingBench {
       // <~120k); the cap is a backstop against regressions, set above the
       // legitimate maximum so a default run logs zero truncation warnings
       .config("spark.sql.maxPlanStringLength", "262144")
-      // shuffle/checkpoint blocks on tmpfs: this sandbox has ONE shared
-      // virtual disk, so at 32 concurrent tasks the shuffle writers
-      // serialize on it (jstack: write0/copyMemory/unmap dominated the
-      // match stage) — an artifact of the single-node proxy, not of the
-      // design: a real N-executor cluster brings N local disks whose
-      // aggregate bandwidth scales WITH the executors being measured
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      // tmpfs by default, env-gated with disk fallback + wipe-at-start
+      // (see Bench.benchLocalDir)
+      .config("spark.local.dir", graft.Bench.benchLocalDir())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(s)
