@@ -174,4 +174,41 @@ object SyntheticWorld {
     World(nodes.toSeq, ways.toSeq, rels.toSeq, stops.toSeq, routes.toSeq,
       trips.toSeq, stopTimes.toSeq, truthShapes.toSeq)
   }
+
+  /** Translate a world north by dLatDeg and prefix/offset every id —
+    * building block of the multi-component (multi-city) world. */
+  def offsetWorld(w: World, idOff: Long, dLatDeg: Double, prefix: String): World = {
+    def p(s: String): String = if (s == null) null else prefix + s
+    World(
+      w.nodes.map(n => n.copy(id = n.id + idOff, lat = n.lat + dLatDeg)),
+      w.ways.map(wy => wy.copy(id = wy.id + idOff, nodes = wy.nodes.map(_ + idOff))),
+      w.rels.map(r => r.copy(id = r.id + idOff,
+        members = r.members.map(m => m.copy(ref = m.ref + idOff)))),
+      w.stops.map(s => s.copy(stop_id = p(s.stop_id), lat = s.lat + dLatDeg)),
+      w.routes.map(r => r.copy(route_id = p(r.route_id))),
+      w.trips.map(t => t.copy(trip_id = p(t.trip_id), route_id = p(t.route_id),
+        shape_id = t.shape_id)),
+      w.stopTimes.map(st => st.copy(trip_id = p(st.trip_id), stop_id = p(st.stop_id))),
+      w.truthShapes.map(s => s.copy(shape_id = p(s.shape_id), lat = s.lat + dLatDeg)))
+  }
+
+  /** Multi-component world: `cities` copies of the grid city, separated by
+    * ~25 km of empty space — far beyond snap distance and bbox padding, so
+    * the routing graph has (at least) one connected component per city.
+    * Exercises GraphPartitions: every solver cluster's candidates live in
+    * exactly one city's component(s). */
+  def buildMulti(cities: Int, rows: Int, cols: Int, seed: Long = 42L,
+                 stopEvery: Int = 3, tripsPerRoute: Int = 2,
+                 variedTrips: Boolean = false): World = {
+    require(cities >= 1)
+    val base = build(rows, cols, seed, stopEvery, tripsPerRoute, variedTrips)
+    val sepDeg = (rows * SpacingM + 25000.0) / Geo.MPerDeg
+    val parts = (0 until cities).map { k =>
+      if (k == 0) base
+      else offsetWorld(base, k.toLong * 1000000000L, k * sepDeg, s"C${k}_")
+    }
+    World(parts.flatMap(_.nodes), parts.flatMap(_.ways), parts.flatMap(_.rels),
+      parts.flatMap(_.stops), parts.flatMap(_.routes), parts.flatMap(_.trips),
+      parts.flatMap(_.stopTimes), parts.flatMap(_.truthShapes))
+  }
 }

@@ -41,6 +41,10 @@ class CompactGraph(
     turnCycleNodesIn: Array[Long] = Array.empty
 ) extends Serializable {
 
+  /** constructor inputs retained for subset/concat (GraphPartitions) */
+  val rawRestrictions: Array[(Long, Long, Long, Boolean)] = restrictionsIn
+  val rawTurnCycles: Array[Long] = turnCycleNodesIn
+
   private val turnCycleSet: java.util.HashSet[Long] = {
     val s = new java.util.HashSet[Long]()
     turnCycleNodesIn.foreach(s.add)
@@ -205,6 +209,8 @@ class CompactGraph(
     if (n == null) -1 else compOf(n)
   }
   def compOfDir(de: Int): Int = compOfNode(dirFrom(de))
+  /** component label of a stored edge (both endpoints share it) */
+  @inline def compOfEdge(i: Int): Int = compOf(edgeFromIdx(i))
 
   /** G9 deg-2 chain label per stored edge (ShapeBuilder.cpp:287-316):
     * edges meeting at a degree-2, non-turn-cycle node belong to one
@@ -321,6 +327,80 @@ object CompactGraph {
     }
     new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, lines,
       restrictions.toArray, edgeLinesFrom = linesF, edgeLinesTo = linesT)
+  }
+
+  /** Subset graph over the stored edges whose dense index passes `keep`
+    * (ascending dense order, which is ascending GLOBAL edge-id order —
+    * fromEdges sorts by edge id — so dense-index tie-breaking inside any
+    * subset is order-consistent with the full graph and routing restricted
+    * to a closed component set is bit-identical to routing on the full
+    * graph). Edge/node/way ids stay global; restrictions and turn-cycle
+    * nodes are filtered to the surviving node set. */
+  def subset(g: CompactGraph, keep: Int => Boolean): CompactGraph = {
+    val idx = (0 until g.numEdges).filter(keep).toArray
+    val n = idx.length
+    val nodeSet = new java.util.HashSet[Long]()
+    val ids = new Array[Long](n); val ef = new Array[Long](n); val et = new Array[Long](n)
+    val c10 = new Array[Long](n); val lm = new Array[Double](n)
+    val ow = new Array[Int](n); val wy = new Array[Long](n)
+    val gla = new Array[Array[Double]](n); val glo = new Array[Array[Double]](n)
+    val eln = new Array[Array[String]](n)
+    val elnF = if (g.edgeLinesFrom == null) null else new Array[Array[String]](n)
+    val elnT = if (g.edgeLinesTo == null) null else new Array[Array[String]](n)
+    var k = 0
+    while (k < n) {
+      val i = idx(k)
+      ids(k) = g.edgeIds(i); ef(k) = g.edgeFrom(i); et(k) = g.edgeTo(i)
+      c10(k) = g.cost10(i); lm(k) = g.lenM(i); ow(k) = g.oneway(i); wy(k) = g.wayId(i)
+      gla(k) = g.geomLat(i); glo(k) = g.geomLon(i); eln(k) = g.edgeLines(i)
+      if (elnF != null) elnF(k) = g.edgeLinesFrom(i)
+      if (elnT != null) elnT(k) = g.edgeLinesTo(i)
+      nodeSet.add(ef(k)); nodeSet.add(et(k))
+      k += 1
+    }
+    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, eln,
+      g.rawRestrictions.filter(r => nodeSet.contains(r._1)),
+      edgeLinesFrom = elnF, edgeLinesTo = elnT,
+      oneWaySpeedPen = g.oneWaySpeedPen, oneWayEntryCostSec = g.oneWayEntryCostSec,
+      turnCycleNodesIn = g.rawTurnCycles.filter(nodeSet.contains))
+  }
+
+  /** Merge disjoint subset graphs back into one, restoring global
+    * edge-id order (so the merged graph's dense indices — hence Dijkstra
+    * tie-breaks — equal those of the equivalent subset of the full
+    * graph). Used for the rare solver cluster whose candidates span
+    * partition bins. */
+  def concat(parts: Seq[CompactGraph]): CompactGraph = {
+    require(parts.nonEmpty)
+    if (parts.length == 1) return parts.head
+    val order = parts.iterator.zipWithIndex.flatMap { case (p, pi) =>
+      (0 until p.numEdges).iterator.map(i => (p.edgeIds(i), pi, i))
+    }.toArray.sortBy(_._1)
+    val n = order.length
+    val ids = new Array[Long](n); val ef = new Array[Long](n); val et = new Array[Long](n)
+    val c10 = new Array[Long](n); val lm = new Array[Double](n)
+    val ow = new Array[Int](n); val wy = new Array[Long](n)
+    val gla = new Array[Array[Double]](n); val glo = new Array[Array[Double]](n)
+    val eln = new Array[Array[String]](n)
+    val hasF = parts.forall(_.edgeLinesFrom != null)
+    val elnF = if (hasF) new Array[Array[String]](n) else null
+    val elnT = if (hasF) new Array[Array[String]](n) else null
+    var k = 0
+    while (k < n) {
+      val (_, pi, i) = order(k)
+      val p = parts(pi)
+      ids(k) = p.edgeIds(i); ef(k) = p.edgeFrom(i); et(k) = p.edgeTo(i)
+      c10(k) = p.cost10(i); lm(k) = p.lenM(i); ow(k) = p.oneway(i); wy(k) = p.wayId(i)
+      gla(k) = p.geomLat(i); glo(k) = p.geomLon(i); eln(k) = p.edgeLines(i)
+      if (hasF) { elnF(k) = p.edgeLinesFrom(i); elnT(k) = p.edgeLinesTo(i) }
+      k += 1
+    }
+    new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, eln,
+      parts.flatMap(_.rawRestrictions).distinct.toArray,
+      edgeLinesFrom = elnF, edgeLinesTo = elnT,
+      oneWaySpeedPen = parts.head.oneWaySpeedPen,
+      oneWayEntryCostSec = parts.head.oneWayEntryCostSec,
+      turnCycleNodesIn = parts.flatMap(_.rawTurnCycles).distinct.toArray)
   }
 
   /** Build from the GraphBuilder edges + restrictions DataFrames (collect on

@@ -1,0 +1,154 @@
+package graft.router
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+
+/** Component-level partitioning of the road graph — the SURVEY §7.3
+  * broadcast-size mitigation. The reference routes inside one in-RAM graph
+  * (/root/reference/src/pfaedle/trgraph/Graph.h:24-28) and skips
+  * cross-component pairs via the per-node component pointer
+  * (/root/reference/src/pfaedle/router/Router.tpp:329-331); at continental
+  * scale a single full-graph broadcast is the one structural ceiling left.
+  * Here the connected components of the routing graph are packed into
+  * BINS, each bin broadcast SEPARATELY, plus one slim (edge id -> bin)
+  * index. A solver task resolves only the bins its candidate edges touch:
+  * Spark's torrent broadcast fetches blocks lazily on first `.value`
+  * access, so an executor that only ever solves trips of one region
+  * fetches that region's subgraph — per-executor graph bytes shrink with
+  * the component count instead of replicating the continent everywhere.
+  *
+  * Routing parity: bins keep global ids and global edge-id ORDER (see
+  * CompactGraph.subset), so solving a cluster against its resolved bin
+  * (or the merged graph of several bins) is bit-identical to solving it
+  * against the full graph — components are closed under adjacency and the
+  * deterministic (cost, dense-index) tie-break preserves relative order.
+  * On a real cluster, additionally sorting solver-group keys by bin would
+  * co-locate each bin's tasks on few executors; with lazy torrent fetch
+  * this is an optimization, not a correctness requirement.
+  */
+final class GraphPartitions(
+    val bins: Array[Broadcast[CompactGraph]],
+    /** global edge id -> bin index; empty when bins.length == 1 */
+    val binOfEdge: Broadcast[java.util.HashMap[Long, java.lang.Integer]])
+  extends Serializable {
+
+  /** The graph a cluster with these candidate edges must route over: the
+    * single touched bin in the common case, a memoized merge when the
+    * candidates span bins (e.g. top-K snaps hitting a disconnected
+    * island), bin 0 for the all-null-candidate cluster (any graph works —
+    * only the fallback ladder runs). Unknown edge ids are ignored, like
+    * expandLayer ignores them. */
+  def resolve(candEdgeIds: Array[Long]): CompactGraph = {
+    if (bins.length == 1) return bins(0).value
+    val bm = binOfEdge.value
+    var touched: java.util.TreeSet[Integer] = null
+    var only = -1
+    var i = 0
+    while (i < candEdgeIds.length) {
+      val b = bm.get(candEdgeIds(i))
+      if (b != null) {
+        val bi = b.intValue()
+        if (only == -1) only = bi
+        else if (bi != only && touched == null) {
+          touched = new java.util.TreeSet[Integer]()
+          touched.add(only); touched.add(bi)
+        } else if (touched != null) touched.add(bi)
+      }
+      i += 1
+    }
+    if (touched == null) return bins(math.max(only, 0)).value
+    GraphPartitions.merged(this, touched)
+  }
+}
+
+object GraphPartitions {
+  /** comps smaller than this share a bin with others (one broadcast per
+    * 100-edge island would drown the driver in broadcast bookkeeping) */
+  val MinBinEdges = 4096
+  val MaxBins = 64
+
+  /** Cross-bin merge memo (per executor JVM): clusters spanning the same
+    * bin set share one merged instance — also keeps HopCache ctx (keyed on
+    * the graph token) consistent across those clusters. Bounded; over
+    * capacity merges run uncached (deterministic, like HopCache). */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CompactGraph]()
+  private val MaxMerged = 64
+  /** merged-graph resolutions (diagnostics: how often the multi-bin path
+    * actually fires — it should be rare on a well-separated world) */
+  val MergedResolves = new java.util.concurrent.atomic.LongAdder()
+
+  private[router] def merged(parts: GraphPartitions,
+                             touched: java.util.TreeSet[Integer]): CompactGraph = {
+    MergedResolves.increment()
+    import scala.jdk.CollectionConverters._
+    val binIdx = touched.asScala.toArray.map(_.intValue())
+    val key = binIdx.map(b => parts.bins(b).value.token).mkString(",")
+    val cached = mergeCache.get(key)
+    if (cached != null) return cached
+    val g = CompactGraph.concat(binIdx.toSeq.map(b => parts.bins(b).value))
+    if (mergeCache.size < MaxMerged) mergeCache.putIfAbsent(key, g)
+    val again = mergeCache.get(key)
+    if (again != null) again else g
+  }
+  def clearMergeCache(): Unit = mergeCache.clear()
+
+  /** Trivial single-bin partitioning (reuses the graph instance). */
+  def single(spark: SparkSession, graph: CompactGraph): GraphPartitions =
+    new GraphPartitions(Array(spark.sparkContext.broadcast(graph)),
+      spark.sparkContext.broadcast(new java.util.HashMap[Long, java.lang.Integer]()))
+
+  /** Pack components into bins and broadcast each. Deterministic: comps
+    * ordered by (size desc, label), big comps own a bin, small ones fill
+    * the currently-smallest bin; bin count capped. Falls back to a single
+    * bin when the graph is one component (a metro street grid) or too
+    * small for partitioning to pay. */
+  def build(spark: SparkSession, graph: CompactGraph,
+            minBinEdges: Int = MinBinEdges, maxBins: Int = MaxBins): GraphPartitions = {
+    // comp -> edge count
+    val sizes = new java.util.HashMap[Int, Int]()
+    var i = 0
+    while (i < graph.numEdges) {
+      val c = graph.compOfEdge(i)
+      val cur = sizes.get(c)
+      sizes.put(c, if (cur == null) 1 else cur + 1)
+      i += 1
+    }
+    if (sizes.size <= 1 || graph.numEdges < 2 * minBinEdges)
+      return single(spark, graph)
+
+    import scala.jdk.CollectionConverters._
+    val comps = sizes.entrySet().asScala.toArray
+      .map(e => (e.getKey.intValue(), e.getValue.intValue()))
+      .sortBy { case (label, n) => (-n, label) }
+    // greedy: big comps own a bin; the rest goes to the smallest bin
+    val binComps = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]()
+    val binSize = scala.collection.mutable.ArrayBuffer[Long]()
+    comps.foreach { case (label, n) =>
+      if (binComps.length < maxBins && (n >= minBinEdges || binComps.isEmpty)) {
+        binComps += scala.collection.mutable.ArrayBuffer(label)
+        binSize += n.toLong
+      } else {
+        val b = binSize.indices.minBy(binSize(_))
+        binComps(b) += label
+        binSize(b) += n
+      }
+    }
+    if (binComps.length == 1) return single(spark, graph)
+
+    val binOfComp = new java.util.HashMap[Int, Int]()
+    binComps.zipWithIndex.foreach { case (cs, b) => cs.foreach(binOfComp.put(_, b)) }
+    val binOfEdgeMap = new java.util.HashMap[Long, java.lang.Integer](graph.numEdges * 2)
+    i = 0
+    while (i < graph.numEdges) {
+      binOfEdgeMap.put(graph.edgeIds(i), binOfComp.get(graph.compOfEdge(i)))
+      i += 1
+    }
+    val bins = binComps.indices.map { b =>
+      val cs = binComps(b).toSet
+      spark.sparkContext.broadcast(
+        CompactGraph.subset(graph, i => cs.contains(graph.compOfEdge(i))))
+    }.toArray
+    new GraphPartitions(bins, spark.sparkContext.broadcast(binOfEdgeMap))
+  }
+}

@@ -124,6 +124,7 @@ object HopCache {
   def clear(): Unit = {
     map.clear(); layerMap.clear()
     MatcherKernel.clearLineExtraCache() // same lifecycle: per-graph memo
+    GraphPartitions.clearMergeCache()   // ditto (keyed by graph tokens)
   }
   def size(): Int = map.size() + layerMap.size()
   val Hits = new java.util.concurrent.atomic.LongAdder()

@@ -278,9 +278,17 @@ object Matcher {
     solveKeyedSeqs(spark, tripStopsWithKey(tripStops), cands, graph, cfg)
 
   def solveKeyedSeqs(spark: SparkSession, keyed: DataFrame, cands: DataFrame,
-                     graph: CompactGraph, cfg: OsmConfig): DataFrame = {
+                     graph: CompactGraph, cfg: OsmConfig): DataFrame =
+    solveKeyedSeqs(spark, keyed, cands, GraphPartitions.build(spark, graph), cfg)
+
+  /** Partitioned variant: the graph ships as per-component-bin broadcasts
+    * (GraphPartitions); each solver task resolves only the bins its
+    * candidate edges touch — at continental scale no executor ever holds
+    * the full graph. Single-bin partitionings degrade to exactly the old
+    * full-graph broadcast. */
+  def solveKeyedSeqs(spark: SparkSession, keyed: DataFrame, cands: DataFrame,
+                     parts: GraphPartitions, cfg: OsmConfig): DataFrame = {
     import spark.implicits._
-    val bcGraph = spark.sparkContext.broadcast(graph)
     val cfgB = spark.sparkContext.broadcast(cfg)
 
     val distinctSeqs = keyed.dropDuplicates("seq_key")
@@ -357,10 +365,13 @@ object Matcher {
        seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS], String, Seq[String])],
        candIt: Iterator[(String, String, Int, String, Long, Double, Long, Double, Double, Int)]) =>
         val line = key._1
+        val candArr = candIt.toArray
         val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
-          candIt.toArray.groupBy(_._4).map { case (k, v) =>
+          candArr.groupBy(_._4).map { case (k, v) =>
             k -> v.map(c => (c._5, c._6, c._7, c._8, c._9, c._10))
           }
+        // only the graph bins this cluster's candidates touch are fetched
+        val g = parts.resolve(candArr.map(_._5))
         val rows = seqIt.toArray
         // G2 routing attrs of this cluster: one lineFrom (same first stop
         // by construction), the PHYSICAL cluster's full lineTo set (shared
@@ -368,7 +379,7 @@ object Matcher {
         val fromName = rows.headOption.map(_._6).getOrElse("")
         val toNames = rows.headOption.map(_._7.toArray).getOrElse(Array.empty[String])
         MatcherKernel.solveCluster(line, fromName, toNames,
-          rows.map(r => (r._4, r._5.toArray)), bcGraph.value, candMap,
+          rows.map(r => (r._4, r._5.toArray)), g, candMap,
           cfgB.value).iterator
     }.toDF()
   }
