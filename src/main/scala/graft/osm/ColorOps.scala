@@ -69,4 +69,35 @@ object ColorOps {
           .otherwise(concat($"route_id", lit("::"), $"variant")))
       .select($"route_id", $"new_route_id", $"color", textOf($"color").as("text_color"))
   }
+
+  /** A6 end-to-end shape GC: the final shape table of a run over a feed
+    * WITH pre-existing shapes = the newly matched shapes plus those
+    * pre-existing shapes still referenced by at least one trip after the
+    * match (refcount decrement on replacement, delete at zero —
+    * ShapeBuilder.cpp:407-424,1226-1232). `tripsAfter` carries the
+    * post-match (trip_id, shape_id) assignment; orphaned old shapes
+    * disappear, shared ones survive. */
+  def gcShapes(tripsAfter: DataFrame, preShapes: DataFrame,
+               matchedShapes: DataFrame): DataFrame = {
+    val kept = preShapes.join(liveShapes(tripsAfter, preShapes),
+      Seq("shape_id"), "left_semi")
+    matchedShapes.unionByName(kept.select(matchedShapes.columns.map(col): _*))
+  }
+
+  /** A7 fare-rule copy on route split (ShapeBuilder.cpp:496-553,
+    * updateRouteColors): when a route splits into colour variants
+    * `R::N`, every fare rule referencing R is duplicated once per new
+    * variant — without this, any feed with fares and multi-colour routes
+    * silently loses fare coverage on the split trips. fareRules must
+    * carry a `route_id` column; all other columns are copied verbatim;
+    * rules of unsplit routes pass through unchanged. */
+  def copyFareRules(fareRules: DataFrame, routeColors: DataFrame): DataFrame = {
+    import fareRules.sparkSession.implicits._
+    val splits = routeColors
+      .filter($"new_route_id" =!= $"route_id")
+      .select($"route_id", $"new_route_id").distinct()
+    val copies = fareRules.join(splits, Seq("route_id"))
+      .drop("route_id").withColumnRenamed("new_route_id", "route_id")
+    fareRules.unionByName(copies.select(fareRules.columns.map(col): _*))
+  }
 }

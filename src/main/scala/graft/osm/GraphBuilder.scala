@@ -44,10 +44,10 @@ object GraphBuilder {
     * — the MapType column is opaque to Catalyst's column pruning, so this
     * manual map_filter is the pruning analog. */
   def pruneTags(df: DataFrame, cfg: OsmConfig): DataFrame = {
-    val keys = (cfg.keepWays ++ cfg.levelRules.map(_._1) ++ cfg.onewayRules ++
+    val keys = ((cfg.keepWays ++ cfg.levelRules.map(_._1) ++ cfg.onewayRules ++
       cfg.onewayRevRules ++ cfg.twowayRules ++ cfg.stationRules ++
       cfg.turnCycleRules ++ cfg.nohupRules ++ cfg.stationBlockerRules)
-      .map(_.key).distinct :+ "name"
+      .map(_.key) ++ cfg.platformTagKeys :+ "name").distinct
     df.withColumn("tags",
       map_filter(col("tags"), (k, _) => k.isInCollection(keys)))
   }
@@ -232,6 +232,32 @@ object GraphBuilder {
                          wayLines: DataFrame, turnCycles: DataFrame,
                          blockers: DataFrame = null)
 
+  /** O5 multi-MOT shared scan: ONE pass over the raw OSM tables serves
+    * every MOT config. The union keep-filter + union tag projection
+    * (OsmConfig.mergeForGraph — the reference's OsmFilter::merge,
+    * OsmBuilder.cpp:235-238) cut the raw scan once and materialize the
+    * filtered frames; each MOT's build then runs on that small subset
+    * with its OWN levels/speeds/stations. A bus+rail feed no longer pays
+    * a second pass over the (at scale, multi-TB) raw planet tables; the
+    * per-MOT results are identical to standalone builds because each
+    * MOT's keep-set is a subset of the union. */
+  def buildShared(spark: SparkSession, osmNodesRaw: DataFrame, osmWaysRaw: DataFrame,
+                  osmRels: DataFrame, bbox: BBox,
+                  cfgs: Seq[(String, OsmConfig)]): Map[String, GraphTables] = {
+    import spark.implicits._
+    val merged = OsmConfig.mergeForGraph(cfgs.map(_._2))
+    val nodes = pruneTags(osmNodesRaw, merged)
+      .filter($"lat" >= bbox.latMin && $"lat" <= bbox.latMax &&
+              $"lon" >= bbox.lonMin && $"lon" <= bbox.lonMax)
+      .localCheckpoint()
+    val ways = pruneTags(osmWaysRaw, merged)
+      .filter(tagMatches($"tags", merged.keepWays))
+      .localCheckpoint()
+    cfgs.map { case (name, cfg) =>
+      name -> build(spark, nodes, ways, osmRels, bbox, cfg)
+    }.toMap
+  }
+
   /** Full graph build. Inputs are osm_nodes / osm_ways / osm_rels DataFrames
     * (FIXTURES.md §2 schemas). */
   def build(spark: SparkSession, osmNodesRaw: DataFrame, osmWaysRaw: DataFrame,
@@ -357,9 +383,15 @@ object GraphBuilder {
     val stationNames = deepAttr(stationNodes, osmRels, mtype = 0,
       Seq(DeepAttrRule("name", fromRelation = false),
         DeepAttrRule("name", fromRelation = true)), "name")
+    // track/platform number from the node's own tags, first configured key
+    // wins (reference statAttrRules.platformRule, osm_track_number_tags)
+    val trackCol =
+      if (cfg.platformTagKeys.isEmpty) lit(null).cast("string")
+      else coalesce(cfg.platformTagKeys.map(k => $"tags".getItem(k)): _*)
     val stations = stationNodes
       .select($"id".as("node_id"), $"lat", $"lon",
-        gcell($"lat", $"lon", cfg.cellRes).as("cell"))
+        gcell($"lat", $"lon", cfg.cellRes).as("cell"),
+        trackCol.as("track"))
       .join(stationNames.withColumnRenamed("id", "node_id"), Seq("node_id"), "left_outer")
 
     // ---- graph nodes: endpoints of kept edges + degree + cell ----

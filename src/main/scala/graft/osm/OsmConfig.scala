@@ -64,6 +64,17 @@ case class OsmConfig(
     distPenFactor: Double = 1.0,
     /** non-station-candidate penalty seconds */
     nonStationPenaltySec: Double = 10.0,
+    /** OSM tags holding a station node's track/platform number, first
+      * match wins (reference osm_track_number_tags -> statAttrRules
+      * .platformRule, MotConfigReader.cpp:210-216) */
+    platformTagKeys: Seq[String] = Seq("local_ref", "ref"),
+    /** extra penalty seconds on station candidates whose normalized track
+      * differs from the stop's platform_code (reference
+      * routing_platform_unmatched_penalty, pfaedle.cfg:397-398; NOTE the
+      * reference's ShapeBuilder.cpp:216-219 adds the penalty when tracks
+      * EQUAL — we implement the documented intent, penalizing the
+      * mismatch) */
+    platformUnmatchedPenaltySec: Double = 15.0,
     /** transition-weight scale: hop cost enters the Viterbi DAG as
       * transitionPenalty * cost (ExpoTransWeight, Weights.cpp:175-181);
       * 1.0 = raw deciseconds */
@@ -106,6 +117,7 @@ case class OsmConfig(
       lineUnmatchedPenaltyFactor, levelSpeedsKmh.mkString(","),
       maxOsmStationDistanceM, maxSnapLevel, maxBlockDistanceM,
       stationBlockerRules.mkString(","),
+      platformTagKeys.mkString(","), platformUnmatchedPenaltySec,
       lineFromUnmatchedPenaltyFactor, lineToUnmatchedPenaltyFactor,
       (stationNormRules ++ lineNormRules ++ trackNormRules ++ idNormRules)
         .mkString(",")).mkString("|")
@@ -151,6 +163,32 @@ object OsmConfig {
     onewayRevRules = Seq(TagRule("oneway", "-1"), TagRule("oneway", "reverse")),
     stationRules = Seq(TagRule("public_transport", "stop_position"),
       TagRule("highway", "bus_stop")))
+
+  /** O5 multi-MOT filter merge — the OsmFilter::merge analog
+    * (/root/reference/src/pfaedle/osm/OsmFilter.cpp:188-201, applied per
+    * read at OsmBuilder.cpp:235-238): union of the rule-sets of several
+    * MOT configs. The merged config drives the SHARED raw-OSM scan (and
+    * the S6/S7 filtered-OSM writers); each MOT still classifies levels
+    * and speeds with its OWN config (GraphBuilder.buildShared). */
+  def mergeForGraph(cfgs: Seq[OsmConfig]): OsmConfig = {
+    require(cfgs.nonEmpty)
+    def uni[T](f: OsmConfig => Seq[T]): Seq[T] = cfgs.flatMap(f).distinct
+    cfgs.head.copy(
+      keepWays = uni(_.keepWays),
+      levelRules = uni(_.levelRules),
+      onewayRules = uni(_.onewayRules),
+      onewayRevRules = uni(_.onewayRevRules),
+      twowayRules = uni(_.twowayRules),
+      stationRules = uni(_.stationRules),
+      turnCycleRules = uni(_.turnCycleRules),
+      nohupRules = uni(_.nohupRules),
+      stationBlockerRules = uni(_.stationBlockerRules),
+      platformTagKeys = uni(_.platformTagKeys),
+      // scan-only: per-MOT speeds stay with each MOT's own config
+      levelSpeedsKmh = cfgs.map(_.levelSpeedsKmh).maxBy(_.max),
+      maxSnapDistanceM = cfgs.map(_.maxSnapDistanceM).max,
+      maxOsmStationDistanceM = cfgs.map(_.maxOsmStationDistanceM).max)
+  }
 
   /** Rail-profile defaults. */
   val rail: OsmConfig = bus.copy(

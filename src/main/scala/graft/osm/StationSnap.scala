@@ -205,16 +205,19 @@ object StationSnap {
       blockerNodes.select(col("node_id").cast("long")).collect()
         .foreach(r => w.blockers += r.getLong(0))
 
+    val hasTrack = gt.stations.columns.contains("track")
+    val trackCol = if (hasTrack) col("track") else lit(null).cast("string")
     val stations = gt.stations.select(col("node_id").cast("long"),
-      col("lat").cast("double"), col("lon").cast("double"), col("name"))
+      col("lat").cast("double"), col("lon").cast("double"), col("name"), trackCol)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
-        if (r.isNullAt(3)) null else r.getString(3)))
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4)))
       .sortBy(_._1)
 
     // stations whose node already IS a graph node carry their info in place
     // (the reference sets SI while reading nodes; only orphans snap)
-    stations.foreach { case (id, _, _, name) =>
+    stations.foreach { case (id, _, _, name, _) =>
       if (w.nodeLat.contains(id) && name != null) w.statOf(id) = name
     }
 
@@ -225,7 +228,7 @@ object StationSnap {
     val speeds = cfg.levelSpeedsKmh.map(_ / 3.6)
     val d = cfg.maxOsmStationDistanceM
 
-    stations.foreach { case (sid, sLat, sLon, name0) =>
+    stations.foreach { case (sid, sLat, sLon, name0, _) =>
       val name = if (name0 == null) "" else name0
       if (w.nodeLat.contains(sid)) {
         placed(sid) = (sid, w.nodeLat(sid), w.nodeLon(sid))
@@ -336,18 +339,18 @@ object StationSnap {
 
     // refined stations table: every input station at its placed vertex
     // (snapped coords), off-graph stations unchanged
-    val placedRows = stations.map { case (sid, sLat, sLon, name) =>
+    val placedRows = stations.map { case (sid, sLat, sLon, name, track) =>
       placed.get(sid) match {
-        case Some((node, la, lo)) => (node, la, lo, name)
-        case None => (sid, sLat, sLon, name)
+        case Some((node, la, lo)) => (node, la, lo, name, track)
+        case None => (sid, sLat, sLon, name, track)
       }
     }.distinct
     val stations2 = spark.createDataFrame(
         spark.sparkContext.parallelize(placedRows.toSeq, 1))
-      .toDF("node_id", "lat", "lon", "name")
+      .toDF("node_id", "lat", "lon", "name", "track")
       .withColumn("cell", graft.functions.GeoFunctions.gcell(
         col("lat"), col("lon"), cfg.cellRes))
-      .select("node_id", "lat", "lon", "cell", "name")
+      .select("node_id", "lat", "lon", "cell", "name", "track")
 
     val nOff = stations.count(s => !placed.contains(s._1))
     (gt.copy(edges = edges2, stations = stations2),

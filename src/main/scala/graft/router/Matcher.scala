@@ -42,37 +42,63 @@ object Matcher {
     val simUdf = udf((a: String, b: String, d: Double) =>
       graft.functions.StringSim.stationsSimilar(a, b, d,
         graft.functions.StringSim.normalizerFor(normB)))
+    // U6 track/platform matching (reference StatInfo track +
+    // routing_platform_unmatched_penalty intent, ShapeBuilder.cpp:205-230):
+    // a station candidate whose normalized track differs from the stop's
+    // platform_code is penalized; absent info on either side is neutral
+    val trackRules = cfg.trackNormRules
+    val trkMismUdf = udf((pc: String, trk: String) => {
+      if (pc == null || trk == null || pc.isEmpty || trk.isEmpty) 0
+      else {
+        val n = graft.functions.StringSim.normalizerFor(trackRules)
+        if (n.norm(pc) == n.norm(trk)) 0 else 1
+      }
+    })
+    val pcCol = if (stops.columns.contains("platform_code"))
+      coalesce($"platform_code", lit("")) else lit("")
     val stopRings = stops.select($"stop_id", $"name".as("stop_name"),
-        $"lat".as("s_lat"), $"lng".as("s_lng"))
+        pcCol.as("pc"), $"lat".as("s_lat"), $"lng".as("s_lng"))
       .withColumn("cell", explode(kring(gcell($"s_lat", $"s_lng", cfg.cellRes), k)))
+    val trkCol = if (stations.columns.contains("track"))
+      coalesce($"track", lit("")) else lit("")
     val simPairs = stopRings
-      .join(stations.select($"node_id", $"name".as("st_name"),
+      .join(stations.select($"node_id", $"name".as("st_name"), trkCol.as("trk"),
         $"lat".as("st_lat"), $"lon".as("st_lon"), $"cell"), Seq("cell"))
       .withColumn("d_m", haversineM($"s_lat", $"s_lng", $"st_lat", $"st_lon"))
       .filter($"d_m" <= cfg.maxSnapDistanceM)
       .filter(simUdf($"stop_name", $"st_name", $"d_m"))
-    val simStations = simPairs.select($"stop_id", $"node_id").distinct()
-    // the NEAREST similar station per stop: candidates touching that vertex
-    // snap their position onto it, so matched shapes terminate exactly at
-    // the station node (the reference routes via station group nodes,
-    // OsmBuilder snapStation + ShapeBuilder getECM)
+      .withColumn("trk_mism", trkMismUdf($"pc", $"trk"))
+    // a vertex aliasing several platforms counts as matching if ANY matches
+    val simStations = simPairs.groupBy($"stop_id", $"node_id")
+      .agg(min($"trk_mism").as("trk_mism"))
+    // the NEAREST similar station per stop — matching track beats distance
+    // (two same-name platforms of one station are otherwise
+    // indistinguishable): candidates touching that vertex snap their
+    // position onto it, so matched shapes terminate exactly at the station
+    // node (the reference routes via station group nodes, OsmBuilder
+    // snapStation + ShapeBuilder getECM)
     val bestStation = simPairs.groupBy($"stop_id")
       .agg(min_by(struct($"node_id", $"st_lat", $"st_lon"),
-        struct($"d_m", $"node_id")).as("b"))
+        struct($"trk_mism", $"d_m", $"node_id")).as("b"))
       .select($"stop_id", $"b.node_id".as("best_node"),
         $"b.st_lat".as("b_lat"), $"b.st_lon".as("b_lon"))
     val cands = buildCands(spark, stops, edges, cfg, maxAbsLat)
     val nonStationPen10 = graft.geo.Geo.costToInt(cfg.nonStationPenaltySec)
+    val platformPen10 = graft.geo.Geo.costToInt(cfg.platformUnmatchedPenaltySec)
     // an edge is a "station candidate" if either endpoint is a similar station
     val edgeEnds = edges.select($"edge_id", $"from_id", $"to_id")
     cands.join(edgeEnds, Seq("edge_id"), "left_outer")
       .join(simStations.withColumnRenamed("node_id", "from_id")
+        .withColumnRenamed("trk_mism", "from_mism")
         .withColumn("st_from", lit(1)), Seq("stop_id", "from_id"), "left_outer")
       .join(simStations.withColumnRenamed("node_id", "to_id")
+        .withColumnRenamed("trk_mism", "to_mism")
         .withColumn("st_to", lit(1)), Seq("stop_id", "to_id"), "left_outer")
       .join(bestStation, Seq("stop_id"), "left_outer")
       .withColumn("pen10",
-        when($"st_from".isNotNull || $"st_to".isNotNull, $"pen10")
+        when($"st_from".isNotNull || $"st_to".isNotNull,
+          $"pen10" + when(least(coalesce($"from_mism", lit(1)),
+            coalesce($"to_mism", lit(1))) === 1, lit(platformPen10)).otherwise(lit(0L)))
           .otherwise($"pen10" + lit(nonStationPen10)))
       .withColumn("at_from", $"best_node".isNotNull && $"from_id" === $"best_node")
       .withColumn("at_to", $"best_node".isNotNull && $"to_id" === $"best_node")
@@ -80,7 +106,7 @@ object Matcher {
         .when($"at_to", lit(1.0)).otherwise($"progr"))
       .withColumn("py", when($"at_from" || $"at_to", $"b_lat").otherwise($"py"))
       .withColumn("px", when($"at_from" || $"at_to", $"b_lon").otherwise($"px"))
-      .drop("from_id", "to_id", "st_from", "st_to",
+      .drop("from_id", "to_id", "st_from", "st_to", "from_mism", "to_mism",
         "best_node", "b_lat", "b_lon", "at_from", "at_to")
   }
 

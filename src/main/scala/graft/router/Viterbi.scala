@@ -253,12 +253,12 @@ object Viterbi {
       // ---- hopsFast N->N pass (Router.tpp:434-526): ONE multi-source
       // Dijkstra per layer, each source seeded with its lattice cost as an
       // init offset, memoized at layer granularity on RELATIVE costs.
-      // Exact for the expo model at transitionPenalty 1 (w == hop), like
-      // the reference, up to the hop>=0 clamp: when a path is shorter than
-      // the un-traversed target tail, the winner is picked pre-clamp (the
-      // reference's offset search shares this). Targets whose winner is
-      // their own seed edge fall back to the per-source pass (the
-      // same-edge special case prices those pairs, never the search). ----
+      // Exact for the expo model at transitionPenalty 1 (w == hop): every
+      // case where the N->N winner could diverge from the per-source pass
+      // (self-won target, per-source cutoff exceeded, active hop>=0 clamp,
+      // 32-bit init overflow) is routed through the per-source pass via
+      // the residual/overflow masks instead of being approximated —
+      // RouterSpec's randomized parity property pins this. ----
       def fastPass(cutoff: Long): Boolean = {
         var foundL = false
         // scalar same-edge pairs (the special case of the slow path)
@@ -396,19 +396,23 @@ object Viterbi {
                 if (si < nSeeds) {
                   val fr = seedFr(si)
                   val cAbs = lv.costsRel(ti2) + minInit
-                  if (cAbs - costFr(fr) > cutoff) {
-                    // the shared fCut (maxRel + cutoff) admitted this pair
-                    // through another seed's offset, but its own per-source
-                    // hop exceeds the layer cutoff — defer to the
-                    // per-source pass, which applies the cutoff exactly
-                    // (keeps the doubling step at which a pair is "found"
-                    // aligned with the slow path)
+                  val tgtCost = g.dirCost10(tc.dirEdge)
+                  val tail = math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
+                  if (cAbs - costFr(fr) > cutoff || cAbs - tail < costFr(fr)) {
+                    // two divergences from the per-source pass are deferred
+                    // to it instead of being approximated: (1) the shared
+                    // fCut (maxRel + cutoff) admitted this pair through
+                    // another seed's offset but its own per-source hop
+                    // exceeds the layer cutoff (keeps the doubling step at
+                    // which a pair is "found" aligned with the slow path);
+                    // (2) the hop>=0 clamp is active (path shorter than the
+                    // un-traversed target tail) — the pre-clamp winner may
+                    // then lose to another source post-clamp, so let the
+                    // per-source pass price all sources exactly
                     if (residual == null) residual = new Array[Boolean](to.length)
                     residual(t2) = true
                   } else {
-                    val tgtCost = g.dirCost10(tc.dirEdge)
-                    val tail = math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
-                    val total = math.max(cAbs - tail, costFr(fr)) + tc.pen10
+                    val total = cAbs - tail + tc.pen10
                     if (total < costTo(t2)) {
                       costTo(t2) = total; predTo(t2) = fr
                       pathTo(t2) = lv.paths(ti2); foundL = true

@@ -51,6 +51,55 @@ class ColorOpsSpec extends AnyFunSuite {
     assert(consolidated.filter($"route_id" === "R2").head().getInt(2) == 0x0066cc)
   }
 
+  test("A6 shape GC: a feed WITH pre-existing shapes keeps exactly the referenced ones") {
+    // R2's trips keep their old shape (dropShapes off -> not re-matched);
+    // R6's trips have none and get matched, orphaning SHP_R6
+    val tripsWithShapes = t.trips.withColumn("shape_id",
+      when($"route_id" === "R2", lit("SHP_R2")))
+    val elig = Matcher.eligibleTrips(tripsWithShapes, t.routes, t.stopTimes,
+      mots = Set(3), dropShapes = false)
+    assert(elig.filter($"route_id" === "R2").count() == 0) // F7: shape kept
+    assert(elig.filter($"route_id" === "R6").count() > 0)
+    val tripStops = WorldTables.tripStops(t)
+      .join(elig.select($"trip_id"), Seq("trip_id"), "left_semi")
+    val graph = CompactGraph.fromEdges(gt.edges, gt.restrictions,
+      gt.wayLines, gt.transitLines)
+    val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg)
+    val matched = Matcher.matchTrips(spark, tripStops, cands, graph, cfg).cache()
+    val matchedIds = matched.select($"shape_id".as("trip_id")).distinct()
+    // post-match assignment: matched trips point at their new shapes
+    val after = tripsWithShapes
+      .join(matchedIds.withColumn("m", lit(1)), Seq("trip_id"), "left_outer")
+      .withColumn("shape_id", when($"m".isNotNull, $"trip_id").otherwise($"shape_id"))
+      .drop("m")
+    val out = ColorOps.gcShapes(after, t.truthShapes, matched)
+    val ids = out.select($"shape_id").distinct().collect().map(_.getString(0)).toSet
+    assert(ids.contains("SHP_R2"))     // still referenced -> survives
+    assert(!ids.contains("SHP_R6"))    // refcount fell to zero -> deleted
+    assert(ids.exists(_.startsWith("T6_"))) // the replacing matched shapes
+    assert(!ids.exists(_.startsWith("T2_"))) // R2 was never re-matched
+  }
+
+  test("A7 fare-rule copy: split routes keep fare coverage") {
+    val trips = Seq(("t1", "R1"), ("t2", "R1"), ("t3", "R2"))
+      .toDF("trip_id", "route_id")
+    val votes = Seq(("t1", 0xff0000, 0.95), ("t2", 0x0066cc, 0.95),
+      ("t3", 0xff0000, 0.95)).toDF("trip_id", "color", "coverage")
+    val rc = ColorOps.consolidateRouteColors(trips, votes)
+    assert(rc.filter($"new_route_id".contains("::")).count() == 2) // R1 -> ::1/::2
+    val fares = Seq(("F1", "R1", "Z1"), ("F2", "R2", "Z2"))
+      .toDF("fare_id", "route_id", "zone")
+    val copied = ColorOps.copyFareRules(fares, rc)
+    // the split route's rule is duplicated for every minted variant
+    val r1 = copied.filter($"fare_id" === "F1")
+      .select($"route_id").collect().map(_.getString(0)).sorted
+    assert(r1.toSeq == Seq("R1", "R1::1", "R1::2"))
+    // unsplit route untouched; schema passes through verbatim
+    assert(copied.filter($"fare_id" === "F2").count() == 1)
+    assert(copied.columns.toSeq == fares.columns.toSeq)
+    assert(copied.filter($"zone".isNull).count() == 0)
+  }
+
   test("multimodal transforms: thumbnail + feature vector") {
     val images = graft.images.ImageFixtures.build(world, cfg.cellRes, noiseTiles = 0)
       .take(4).toDF()

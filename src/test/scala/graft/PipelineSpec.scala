@@ -56,6 +56,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(gt.wayLines.count() > 0)
   }
 
+  test("O5 multi-MOT: one shared scan serves bus + rail with per-MOT speeds") {
+    val gts = GraphBuilder.buildShared(spark, t.osmNodes, t.osmWays, t.osmRels,
+      bbox, Seq("bus" -> OsmConfig.bus, "rail" -> OsmConfig.rail))
+    val bus = gts("bus"); val rail = gts("rail")
+    // the union keep-filter feeds both MOTs, but each keeps only its ways:
+    // rail rows (r%4==0, railway=rail) for rail, highway ways for bus
+    val railWays = world.ways.filter(_.tags.get("railway").contains("rail"))
+      .map(_.id).toSet
+    assert(rail.edges.count() > 0)
+    assert(rail.edges.filter(!$"way_id".isin(railWays.toSeq: _*)).count() == 0)
+    assert(bus.edges.filter($"way_id".isin(railWays.toSeq: _*)).count() == 0)
+    // per-MOT level speeds survive the shared scan: rail lvl 0 = 120 km/h
+    val e = rail.edges.filter($"lvl" === 0).select($"len_m", $"cost10").head()
+    assert(e.getLong(1) == Geo.costToInt(e.getDouble(0) / (120.0 / 3.6)))
+    // per-MOT outputs: the bus graph from the shared scan still matches
+    // every trip (identical to a standalone build)
+    val graph = CompactGraph.fromEdges(bus.edges, bus.restrictions,
+      bus.wayLines, bus.transitLines, bus.turnCycles)
+    val cands = Matcher.buildCands(spark, t.stops, bus.edges, cfg)
+    val shapes = Matcher.matchTrips(spark, WorldTables.tripStops(t), cands, graph, cfg)
+    assert(shapes.select("shape_id").distinct().count() == t.trips.count())
+  }
+
   test("candidate join finds nearby edges for every stop") {
     val cands = Matcher.buildCands(spark, t.stops, gt.edges, cfg).cache()
     val nStops = t.stops.count()

@@ -296,6 +296,92 @@ class RouterSpec extends AnyFunSuite {
     assert(HopCache.Hits.sum() > m0, "second fast solve should hit the layer memo")
   }
 
+  test("G5: overflow seeds (poisoned lattice) are excluded from the N->N heap and still priced") {
+    // two components: A-B-C-D/E chain (comp 0) and X-Y (comp 1). One
+    // layer-0 cand is fallback-poisoned (pen ~6e17 deciseconds, the
+    // Inf/200*100 scale) — its RELATIVE init overflows the 32-bit packed
+    // heap, so pre-fix the N->N pass silently dropped it and the only
+    // target reachable from it fell to the fallback ladder.
+    val coords2 = coords ++ Map(10L -> (49.0, 8.0), 11L -> (49.0, 8.01))
+    val segs2 = segs ++ Seq((10L, 11L, 5.0, 0, 300L)) // e4 X-Y, comp 1
+    val g2 = CompactGraph.fromSegments(segs2, coords2)
+    val poison = 600000000000000000L // ~Inf/200*100 scale
+    val layer0 = Array(
+      Cand(0, 0.1, 0L, 48.0, 7.801),      // e0 fwd (comp 0)
+      Cand(2, 0.1, 5L, 48.0, 7.811),      // e1 fwd (comp 0)
+      Cand(8, 0.1, poison, 49.0, 8.001))  // e4 fwd (comp 1), poisoned
+    val layer1 = Array(
+      Cand(4, 0.5, 0L, 48.0, 7.825),      // e2 fwd (comp 0)
+      Cand(8, 0.9, 0L, 49.0, 8.009))      // e4 fwd (comp 1): only the
+                                          // poisoned source reaches this
+    val cands = Array(layer0, layer1)
+    def run(fastMin: Int): SolveResult = {
+      HopCache.clear()
+      val prev = Viterbi.FastMinSources
+      Viterbi.FastMinSources = fastMin
+      try Viterbi.solve(g2, cands, Array(600.0), noPen)
+      finally Viterbi.FastMinSources = prev
+    }
+    val slow = run(Int.MaxValue)
+    val fast = run(3)
+    assert(fast.totalCost10 == slow.totalCost10)
+    assert(fast.bestCands.toSeq == slow.bestCands.toSeq)
+    // the comp-1 target was really priced through the overflow source:
+    // same-edge special case, (0.9-0.1)*50ds on e4
+    val t2 = Array(Array(layer0(2)), Array(layer1(1)))
+    val only = run(1) // single source: slow path, ground truth
+    assert(only.totalCost10 < Dijkstra.Inf)
+    val t2fast = { HopCache.clear(); Viterbi.solve(g2, t2, Array(600.0), noPen) }
+    assert(t2fast.totalCost10 == poison + 40L)
+  }
+
+  test("G5 property: randomized hopsFast vs per-source parity (cost-exact)") {
+    // random 4x4 grid worlds x random layered lattices: the N->N pass with
+    // its residual/overflow masks must price every layer exactly like the
+    // per-source pass (expo model, transitionPenalty 1). Costs are drawn
+    // from a wide range so equal-cost pred ties (where the two passes may
+    // legitimately pick different but equally-cheap predecessors) are
+    // vanishingly unlikely; totals and chosen candidates are asserted.
+    val rnd = new scala.util.Random(4242)
+    for (iter <- 0 until 25) {
+      val n = 4
+      def nid(r: Int, c: Int): Long = (r * n + c + 1).toLong
+      val gridCoords = (for (r <- 0 until n; c <- 0 until n)
+        yield nid(r, c) -> (48.0 + r * 0.002, 7.8 + c * 0.002)).toMap
+      val gridSegs = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int, Long)]()
+      for (r <- 0 until n; c <- 0 until n) {
+        if (c + 1 < n) gridSegs += ((nid(r, c), nid(r, c + 1),
+          1.0 + rnd.nextInt(100000) / 100.0, rnd.nextInt(3) match { case 2 => 0; case x => x }, 500L + r))
+        if (r + 1 < n) gridSegs += ((nid(r, c), nid(r + 1, c),
+          1.0 + rnd.nextInt(100000) / 100.0, 0, 600L + c))
+      }
+      val gg = CompactGraph.fromSegments(gridSegs.toSeq, gridCoords)
+      val nLayers = 2 + rnd.nextInt(3)
+      val cands: Array[Array[Cand]] = Array.tabulate(nLayers) { _ =>
+        val nc = 2 + rnd.nextInt(4)
+        val edges = rnd.shuffle((0 until gg.numEdges).toList).take(nc)
+        edges.map { e =>
+          val de = 2 * e + rnd.nextInt(2)
+          val (la, lo) = gridCoords(gg.dirTo(de))
+          Cand(de, rnd.nextDouble(), rnd.nextInt(1000000).toLong, la, lo)
+        }.toArray
+      }
+      val sched = Array.fill(nLayers - 1)(60.0 + rnd.nextInt(600))
+      def run(fastMin: Int): SolveResult = {
+        HopCache.clear()
+        val prev = Viterbi.FastMinSources
+        Viterbi.FastMinSources = fastMin
+        try Viterbi.solve(gg, cands, sched, noPen)
+        finally Viterbi.FastMinSources = prev
+      }
+      val slow = run(Int.MaxValue)
+      val fast = run(2)
+      assert(fast.totalCost10 == slow.totalCost10,
+        s"iter $iter: fast ${fast.totalCost10} != slow ${slow.totalCost10}")
+      assert(fast.bestCands.toSeq == slow.bestCands.toSeq, s"iter $iter pred divergence")
+    }
+  }
+
   test("G2 from/to line-factor split: same short name, wrong terminals loses (Weights.cpp:93-118)") {
     // two parallel equal-cost chains B->C: e1 (way 150) and a twin via E
     // (e3+e4). Both carry line "L1", but e1's relation says X->Y while the

@@ -99,6 +99,36 @@ class SnapSpec extends AnyFunSuite {
     assert(gt2.edges.count() == gt.edges.count())
   }
 
+  test("U6: platform_code resolves same-name stations to the matching track") {
+    // two platforms of one station: same name, local_ref 1 at 300 m and
+    // local_ref 2 at 500 m; the stop carries platform_code 2 but sits
+    // NEARER to platform 1 — track match must beat distance
+    val p1 = OsmNode(100L, 48.0 - mLat(10.0), 7.8 + mLon(300.0),
+      Map("highway" -> "bus_stop", "name" -> "Alpha", "local_ref" -> "1"))
+    val p2 = OsmNode(101L, 48.0 - mLat(10.0), 7.8 + mLon(500.0),
+      Map("highway" -> "bus_stop", "name" -> "Alpha", "local_ref" -> "2"))
+    val gt = world(Seq(p1, p2))
+    val (gt2, stats) = graft.osm.StationSnap.refine(spark, gt, cfg, gt.blockers)
+    assert(stats.nSplit == 2, s"$stats")
+    assert(gt2.stations.filter($"track" === "2").count() == 1)
+    val stops = spark.createDataset(Seq(
+      GtfsStop("S1", "Alpha", 48.0 - mLat(12.0), 7.8 + mLon(350.0), "2", "", 0))).toDF()
+    val cands = graft.router.Matcher.buildCandsWithStations(
+      spark, stops, gt2.edges, gt2.stations, cfg).collect()
+    // snap position lands on the matching-track vertex (platform 2, 500 m)
+    val lon500 = 7.8 + mLon(500.0)
+    assert(cands.exists(r => math.abs(r.getAs[Double]("py") - 48.0) < 1e-9 &&
+      math.abs(r.getAs[Double]("px") - lon500) < 1e-9))
+    // the candidate touching ONLY the wrong-track platform pays the
+    // platform-unmatched penalty on top of its distance emission
+    val e1 = gt2.edges.filter(($"from_id" === 100L || $"to_id" === 100L) &&
+      $"from_id" =!= 101L && $"to_id" =!= 101L).select($"edge_id").head().getLong(0)
+    val c1 = cands.find(_.getAs[Long]("edge_id") == e1).get
+    val emit = math.ceil(c1.getAs[Double]("dist_m") * cfg.distPenFactor * 10.0).toLong
+    assert(c1.getAs[Long]("pen10") == emit +
+      Geo.costToInt(cfg.platformUnmatchedPenaltySec))
+  }
+
   test("J4: a projection within 0.5 m of an existing vertex reuses that vertex") {
     // station 10 m exactly south of way node 2 (at 200 m): projection = node 2.
     // A crossing street keeps node 2 an intersection (contraction would
