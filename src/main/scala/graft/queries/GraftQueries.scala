@@ -646,5 +646,5 @@ object GraftQueries {
     all.map { case (k, (q, _)) => k -> q } ++ PipelineQueries.all
   def oracleSql: Map[String, String] = all.collect {
     case (k, (_, sql)) if sql != null => k -> sql
-  }
+  } ++ PipelineOracles.sql
 }

@@ -103,28 +103,33 @@ object PipelineQueries {
   }
 
   val all: Map[String, Q] = Map(
-    // matched shapes, coordinates rounded for a stable dump
+    // matched shapes, coordinates rounded for a stable dump. Types follow
+    // the catalog's oracle-parity convention (ints -> long, floats ->
+    // double) so the generated VALUES oracles compare bit-exactly.
     "q_match_shapes" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       artifacts(s).shapes
-        .select($"shape_id", $"seq",
+        .select($"shape_id", $"seq".cast("long").as("seq"),
           round($"lat", 7).as("lat"), round($"lng", 7).as("lng"),
-          round($"travel_dist", 1).as("travel_dist"))
+          round($"travel_dist", 1).cast("double").as("travel_dist"))
         .orderBy($"shape_id", $"seq")
     }),
     // shapevl accuracy scores per trip
     "q_shapevl_scores" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       artifacts(s).scores
-        .select($"trip_id", round($"an", 4).as("an"), round($"al", 4).as("al"),
-          round($"avg_fd", 1).as("avg_fd"), $"n_segs", $"skipped")
+        .select($"trip_id", round($"an", 4).cast("double").as("an"),
+          round($"al", 4).cast("double").as("al"),
+          round($"avg_fd", 1).cast("double").as("avg_fd"),
+          $"n_segs".cast("long").as("n_segs"),
+          $"skipped".cast("long").as("skipped"))
         .orderBy($"trip_id")
     }),
     // raster->vector tile assignments
     "q_tile_assign" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       artifacts(s).assigned
-        .select($"image_id", $"shape_id", $"cell")
+        .select($"image_id", $"shape_id", $"cell".cast("long").as("cell"))
         .orderBy($"image_id", $"shape_id")
     }),
     // payload verification stats (input_hint invariant)
@@ -142,14 +147,16 @@ object PipelineQueries {
     "q_color_vote" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       artifacts(s).tripColors
-        .select($"trip_id", $"color", $"coverage")
+        .select($"trip_id", $"color".cast("long").as("color"),
+          round($"coverage", 4).cast("double").as("coverage"))
         .orderBy($"trip_id")
     }),
     // A7: consolidated route colors (route splits as route_id::N)
     "q_route_colors" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       artifacts(s).routeColors
-        .select($"route_id", $"new_route_id", $"color", $"text_color")
+        .select($"route_id", $"new_route_id", $"color".cast("long").as("color"),
+          $"text_color".cast("long").as("text_color"))
         .orderBy($"route_id", $"new_route_id")
     }))
 }
