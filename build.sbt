@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // storms measured as 200-300 s of task GC); batch pipelines want the
   // parallel collector
   "-XX:+UseParallelGC",
-)
+  // extra JVM flags for experiments (e.g. GC generation pinning during
+  // scaling runs) without editing the build
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.trim.split("\\s+").toSeq)
+  .getOrElse(Seq.empty)

@@ -38,9 +38,10 @@ object Bench {
   }
 
   /** per-phase Spark task metrics: (executor task ms, executor GC ms,
-    * task count) — wall >> taskMs/cores means the phase is driver- or
-    * scheduling-bound, not executor-bound. */
-  case class PhaseM(taskMs: Long, gcMs: Long, nTasks: Long)
+    * task count, longest single task ms) — wall >> taskMs/cores means the
+    * phase is driver- or scheduling-bound; maxTaskMs close to the phase
+    * wall means one straggler task gates the phase (skew). */
+  case class PhaseM(taskMs: Long, gcMs: Long, nTasks: Long, maxTaskMs: Long = 0)
   case class PipelineStats(rows: Long, tiles: Long, phases: Seq[(String, Double)],
                            metrics: Map[String, PhaseM] = Map.empty)
 
@@ -51,6 +52,9 @@ object Bench {
     val taskMs = new java.util.concurrent.atomic.LongAdder
     val gcMs = new java.util.concurrent.atomic.LongAdder
     val nTasks = new java.util.concurrent.atomic.LongAdder
+    /** longest single task since the last snapWindowMax() — straggler/skew
+      * evidence per phase */
+    private val maxMs = new java.util.concurrent.atomic.AtomicLong(0)
     private val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val stageMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
     override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
@@ -59,12 +63,15 @@ object Bench {
       val m = e.taskMetrics
       if (m != null) {
         taskMs.add(m.executorRunTime); gcMs.add(m.jvmGCTime); nTasks.increment()
+        maxMs.getAndAccumulate(m.executorRunTime, math.max)
         val nm = stageName.getOrDefault(e.stageId, s"stage-${e.stageId}")
         stageMs.computeIfAbsent(nm, _ => new java.util.concurrent.atomic.LongAdder)
           .add(m.executorRunTime)
       }
     }
     def snap(): (Long, Long, Long) = (taskMs.sum(), gcMs.sum(), nTasks.sum())
+    /** max task ms since last call (phase-window scoped), then reset */
+    def snapWindowMax(): Long = maxMs.getAndSet(0)
     /** top-k stages by task ms since the given snapshot (approximate:
       * whole-run totals; call once per run for clean attribution) */
     def topStages(k: Int): Seq[(String, Long)] = {
@@ -94,7 +101,8 @@ object Bench {
       // honest without reaching into the private listener bus
       Thread.sleep(60)
       val cur = listener.snap()
-      metrics(name) = PhaseM(cur._1 - last._1, cur._2 - last._2, cur._3 - last._3)
+      metrics(name) = PhaseM(cur._1 - last._1, cur._2 - last._2, cur._3 - last._3,
+        listener.snapWindowMax())
       last = cur
     }
     val world = SyntheticWorld.build(rows, cols, tripsPerRoute = tripsPerRoute,

@@ -154,6 +154,129 @@ object Geo {
     line.indices.filter(keep).map(line).toArray
   }
 
+  /** Distance-only projectOnSegment — no tuple allocation (hot: once per
+    * point per Douglas-Peucker recursion level in the match kernel). */
+  def distToSegmentM(pLat: Double, pLon: Double,
+                     aLat: Double, aLon: Double,
+                     bLat: Double, bLon: Double): Double = {
+    val f = latLngDistFactor(pLat)
+    val ax = aLon * f; val ay = aLat
+    val bx = bLon * f; val by = bLat
+    val px = pLon * f; val py = pLat
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 <= 0.0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    haversineM(pLat, pLon, aLat + t * (bLat - aLat), aLon + t * (bLon - aLon))
+  }
+
+  /** Growable primitive (lat, lon) buffer — the match kernel's geometry
+    * scratch. The tuple-based materialize path allocated one boxed
+    * (Double, Double) per geometry point per hop (dirGeom + ArrayBuffer);
+    * at 10^5 solved sequences x 10^2 points that allocation rate was a
+    * measurable share of executor GC, and GC pauses are what poisons the
+    * N-vs-4N scaling measurement on a shared heap. */
+  final class PtBuf(initCap: Int) {
+    var lat = new Array[Double](math.max(4, initCap))
+    var lon = new Array[Double](math.max(4, initCap))
+    var n = 0
+    def clear(): Unit = n = 0
+    private def grow(): Unit = {
+      val c = lat.length * 2
+      lat = java.util.Arrays.copyOf(lat, c)
+      lon = java.util.Arrays.copyOf(lon, c)
+    }
+    /** append, skipping an exact repeat of the last point */
+    def addDedup(la: Double, lo: Double): Unit = {
+      if (n > 0 && math.abs(lat(n - 1) - la) <= 1e-12 &&
+          math.abs(lon(n - 1) - lo) <= 1e-12) return
+      if (n == lat.length) grow()
+      lat(n) = la; lon(n) = lo; n += 1
+    }
+  }
+
+  /** Append the sub-polyline between total progresses [p1, p2] of a STORED
+    * edge geometry (primitive arrays, optionally traversed in reverse for
+    * the odd directed edge) into `out` — the allocation-free equivalent of
+    * subPolyline(dirGeom(de), p1, p2). Progress is measured along the
+    * traversal direction, exactly like the tuple path. */
+  def subPolylineInto(gLat: Array[Double], gLon: Array[Double], rev: Boolean,
+                      p1: Double, p2: Double, out: PtBuf): Unit = {
+    val len = gLat.length
+    @inline def la(k: Int): Double = if (rev) gLat(len - 1 - k) else gLat(k)
+    @inline def lo(k: Int): Double = if (rev) gLon(len - 1 - k) else gLon(k)
+    if (len == 0) return
+    if (len < 2) { out.addDedup(la(0), lo(0)); return }
+    val loP = math.max(0.0, math.min(p1, p2)); val hiP = math.min(1.0, math.max(p1, p2))
+    var total = 0.0
+    var i = 0
+    while (i < len - 1) {
+      total += haversineM(la(i), lo(i), la(i + 1), lo(i + 1)); i += 1
+    }
+    if (total <= 0) { out.addDedup(la(0), lo(0)); return }
+    // interp(target): walk segments until the target meter mark
+    def interpInto(target: Double): Unit = {
+      var acc = 0.0; var k = 0
+      while (k < len - 1) {
+        val sl = haversineM(la(k), lo(k), la(k + 1), lo(k + 1))
+        if (acc + sl >= target || k == len - 2) {
+          val t = if (sl <= 0) 0.0 else math.max(0.0, math.min(1.0, (target - acc) / sl))
+          out.addDedup(la(k) + t * (la(k + 1) - la(k)), lo(k) + t * (lo(k + 1) - lo(k)))
+          return
+        }
+        acc += sl; k += 1
+      }
+      out.addDedup(la(len - 1), lo(len - 1))
+    }
+    val startM = loP * total; val endM = hiP * total
+    interpInto(startM)
+    var acc = 0.0
+    i = 0
+    while (i < len - 1) {
+      val sl = haversineM(la(i), lo(i), la(i + 1), lo(i + 1))
+      val at = acc + sl
+      if (at > startM && at < endM) out.addDedup(la(i + 1), lo(i + 1))
+      acc = at; i += 1
+    }
+    interpInto(endM)
+  }
+
+  /** Append a whole stored edge geometry (direction-aware) into `out`. */
+  def geomInto(gLat: Array[Double], gLon: Array[Double], rev: Boolean,
+               out: PtBuf): Unit = {
+    val len = gLat.length
+    var k = 0
+    while (k < len) {
+      if (rev) out.addDedup(gLat(len - 1 - k), gLon(len - 1 - k))
+      else out.addDedup(gLat(k), gLon(k))
+      k += 1
+    }
+  }
+
+  /** Douglas-Peucker keep-mask over a primitive point buffer prefix [0, n)
+    * — same recursion as simplify(), zero allocation beyond the mask. */
+  def simplifyMask(lat: Array[Double], lon: Array[Double], n: Int,
+                   epsM: Double): Array[Boolean] = {
+    val keep = new Array[Boolean](n)
+    if (n == 0) return keep
+    keep(0) = true; keep(n - 1) = true
+    if (n <= 2) return keep
+    def rec(lo: Int, hi: Int): Unit = {
+      if (hi <= lo + 1) return
+      var maxD = -1.0; var maxI = -1
+      var i = lo + 1
+      while (i < hi) {
+        val d = distToSegmentM(lat(i), lon(i), lat(lo), lon(lo), lat(hi), lon(hi))
+        if (d > maxD) { maxD = d; maxI = i }
+        i += 1
+      }
+      if (maxD > epsM) { keep(maxI) = true; rec(lo, maxI); rec(maxI, hi) }
+    }
+    rec(0, n - 1)
+    keep
+  }
+
   /** Resample a polyline so consecutive points are at most stepM apart
     * (shapevl samples every 25 m — ShapevlMain.cpp:40). */
   def densify(line: Array[(Double, Double)], stepM: Double): Array[(Double, Double)] = {

@@ -36,10 +36,22 @@ object ImageOverlay {
   }
 
   /** Raster->vector assignment: tile cell joined against shape cells.
-    * Output: (image_id, shape_id, cell, phash). */
+    * Output: (image_id, shape_id, cell, phash).
+    *
+    * Join shape: the (shape_id, cell) table scales with TRIP COUNT, so it
+    * must never be broadcast (at tpr=3600 it is ~4M rows and the broadcast
+    * build was a 40 s driver-bound stall; at 10^8 trips it would OOM the
+    * driver). What IS bounded by the road network is the distinct CELL
+    * set — that small set broadcasts as a semi-join prune so the 10^12-row
+    * images side narrows to the tiles a shape actually touches before the
+    * shuffle equi-join on cell produces the pairs. */
   def assign(images: DataFrame, shapes: DataFrame, res: Int): DataFrame = {
-    val sc = broadcast(shapeCells(shapes, res))
-    tileCells(images).join(sc, Seq("cell"))
+    import images.sparkSession.implicits._
+    val sc = shapeCells(shapes, res)
+    val liveCells = broadcast(sc.select($"cell").distinct())
+    tileCells(images)
+      .join(liveCells, Seq("cell"))
+      .join(sc, Seq("cell"))
       .select("image_id", "shape_id", "cell", "phash")
   }
 

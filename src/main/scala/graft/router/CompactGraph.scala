@@ -267,6 +267,10 @@ class CompactGraph(
 
   val hasRestrictions: Boolean = restrictionsIn.nonEmpty
 
+  /** any edge carrying transit-line info (memoized: relaxParams asked this
+    * with an O(numEdges) scan once per solve) */
+  lazy val hasLineInfo: Boolean = edgeLines.exists(l => l != null && l.nonEmpty)
+
   /** Geometry of a directed edge (oriented). */
   def dirGeom(de: Int): Array[(Double, Double)] = {
     val i = de >> 1

@@ -45,17 +45,29 @@ object HopCache {
 
   val MaxEntries = 200000
 
-  /** Memoized computation holder: the lazy val synchronizes on THIS entry,
-    * so concurrent requesters of the same key block on one computation
-    * instead of duplicating it. On a cold memo at 32 threads, similar
-    * sequences (collect order groups them) all missed simultaneously and
-    * re-ran the same Dijkstras — measured 22x per-solve CPU inflation
-    * versus 8 threads (the cache-stampede classic). */
+  /** Memoized computation holder. Publication policy (r4): the FIRST
+    * toucher computes and publishes; a thread arriving while the value is
+    * still in flight computes its own copy locally WITHOUT waiting or
+    * publishing. r2 had no memo (every thread re-ran every Dijkstra — 22x
+    * per-solve CPU inflation); r3 blocked concurrent requesters on one
+    * lazy-val computation, which serialized the cold-start stampede: with
+    * pool threads == cores a blocked thread idles its core, and salted
+    * sub-groups of one physical cluster (same memo ctx) all want the same
+    * layer entries at the same moment — measured as the kernel pool
+    * scaling 0.565 from 8->32 threads on a host whose pure-CPU probe
+    * scales at 0.94. Duplicating an in-flight compute costs one parallel
+    * redundant Dijkstra but never an idle core, and identical inputs give
+    * an identical value, so publication order cannot change results. */
   final class Entry(compute: () => Val) {
-    lazy val value: Val = compute()
+    @volatile private var v: Val = null
+    /** the published value, or null while still in flight */
+    def published: Val = v
+    /** run the computation on THIS thread and publish it */
+    def computeAndPublish(): Val = { val r = compute(); v = r; r }
   }
 
   private val map = new ConcurrentHashMap[Key, Entry]()
+  private val mapCount = new java.util.concurrent.atomic.LongAdder()
 
   def targetsHash(targets: Array[Int]): Long = {
     var h = 1125899906842597L
@@ -64,19 +76,27 @@ object HopCache {
     h
   }
 
-  /** Memoized lookup: at most one thread computes a given key; others
-    * block on that computation. The compute closure MUST acquire its own
-    * thread-local workspace (it may run on whichever thread touches the
-    * entry first). Over MaxEntries, computes run uncached (deterministic:
-    * no eviction). A 64-bit targets-hash collision also computes uncached. */
+  /** Memoized lookup: the creating thread computes and publishes; a thread
+    * that finds the entry still in flight computes locally without waiting
+    * (see Entry). The compute closure MUST acquire its own thread-local
+    * workspace (it may run on whichever thread touches the entry first).
+    * Over MaxEntries, computes run uncached (deterministic: no eviction).
+    * A 64-bit targets-hash collision also computes uncached. */
   def getOrCompute(key: Key, targets: Array[Int], compute: () => Val): Val = {
     var created = false
     val e =
-      if (map.size() >= MaxEntries) map.get(key)
-      else map.computeIfAbsent(key, _ => { created = true; new Entry(compute) })
-    // over-capacity (e == null) computes are uncached work, i.e. misses
-    if (created || e == null) Misses.increment() else Hits.increment()
-    val v = if (e == null) compute() else e.value
+      if (mapCount.sum() >= MaxEntries) map.get(key)
+      else map.computeIfAbsent(key, _ => {
+        created = true; mapCount.increment(); new Entry(compute)
+      })
+    val v =
+      if (created) { Misses.increment(); e.computeAndPublish() }
+      else if (e == null) { Misses.increment(); compute() } // over capacity
+      else {
+        val p = e.published
+        if (p != null) { Hits.increment(); p }
+        else { Misses.increment(); compute() } // in flight: duplicate, don't wait
+      }
     if (java.util.Arrays.equals(v.targets, targets)) v
     else compute() // hash collision: compute fresh, don't poison the entry
   }
@@ -96,10 +116,14 @@ object HopCache {
                             costsRel: Array[Long], winners: Array[Int],
                             paths: Array[Array[Int]])
 
+  /** same first-toucher-publishes / in-flight-duplicates policy as Entry */
   final class LayerEntry(compute: () => LayerVal) {
-    lazy val value: LayerVal = compute()
+    @volatile private var v: LayerVal = null
+    def published: LayerVal = v
+    def computeAndPublish(): LayerVal = { val r = compute(); v = r; r }
   }
   private val layerMap = new ConcurrentHashMap[LayerKey, LayerEntry]()
+  private val layerCount = new java.util.concurrent.atomic.LongAdder()
 
   def srcsHash(srcs: Array[Long]): Long = {
     var h = 0x9e3779b97f4a7c15L
@@ -112,10 +136,18 @@ object HopCache {
                         compute: () => LayerVal): LayerVal = {
     var created = false
     val e =
-      if (layerMap.size() >= MaxEntries) layerMap.get(key)
-      else layerMap.computeIfAbsent(key, _ => { created = true; new LayerEntry(compute) })
-    if (created || e == null) Misses.increment() else Hits.increment()
-    val v = if (e == null) compute() else e.value
+      if (layerCount.sum() >= MaxEntries) layerMap.get(key)
+      else layerMap.computeIfAbsent(key, _ => {
+        created = true; layerCount.increment(); new LayerEntry(compute)
+      })
+    val v =
+      if (created) { Misses.increment(); e.computeAndPublish() }
+      else if (e == null) { Misses.increment(); compute() } // over capacity
+      else {
+        val p = e.published
+        if (p != null) { Hits.increment(); p }
+        else { Misses.increment(); compute() } // in flight: duplicate, don't wait
+      }
     if (java.util.Arrays.equals(v.srcs, srcs) &&
         java.util.Arrays.equals(v.targets, targets)) v
     else compute() // hash collision: compute fresh, don't poison the entry
@@ -123,6 +155,7 @@ object HopCache {
 
   def clear(): Unit = {
     map.clear(); layerMap.clear()
+    mapCount.reset(); layerCount.reset()
     MatcherKernel.clearLineExtraCache() // same lifecycle: per-graph memo
     GraphPartitions.clearMergeCache()   // ditto (keyed by graph tokens)
   }

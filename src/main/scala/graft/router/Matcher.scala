@@ -194,16 +194,22 @@ object Matcher {
     // lineage made AQE's per-update plan stringification quadratic)
     val solved = solveKeyedSeqs(spark, keyed, cands, graph, cfg).localCheckpoint()
 
-    // join back ONCE: the solved table carries the heavy per-sequence
-    // payload (points/anchors/hops arrays); joining it separately for each
-    // of the three outputs shuffled that payload three times — jstack'd as
-    // the dominant cost of the whole match stage at high core counts
-    // (shuffle file IO + copyMemory). One join, checkpointed, three narrow
-    // explodes. The W2 cumulative measure is accumulated in the kernel
-    // during geometry materialization (same haversine running sum the
-    // window computed — without a 10^7-row sort).
+    // join back ONCE, LAZILY: the solved table carries the heavy
+    // per-sequence payload (points/anchors/hops arrays); joining it
+    // separately for each of the three outputs shuffled that payload three
+    // times — jstack'd as the dominant cost of the whole match stage at
+    // high core counts. But CHECKPOINTING the join output was worse at
+    // high trip counts: the join duplicates each sequence's payload to
+    // every trip sharing it (~15x at tpr=3600), so the eager checkpoint
+    // wrote gigabytes a caller consuming only `shapes` never reads. Both
+    // join inputs are checkpointed, so re-running the join per consumed
+    // output costs one small shuffle of the 10^3-row pre-duplication
+    // payload — the duplication stays in-flight, never materialized.
+    // The W2 cumulative measure is accumulated in the kernel during
+    // geometry materialization (same haversine running sum the window
+    // computed — without a 10^7-row sort).
     val seqKeys = keyed.select($"trip_id", $"seq_key").distinct()
-    val joined = seqKeys.join(solved, Seq("seq_key")).localCheckpoint()
+    val joined = seqKeys.join(solved, Seq("seq_key"))
     val shapes = joined
       .select($"trip_id".as("shape_id"), explode($"points").as("pt"))
       .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"),
@@ -412,8 +418,11 @@ object Matcher {
 
   /** Cap on distinct sequences per solver task (the salting grain). Small
     * enough that tasks comfortably outnumber cores on any real feed, large
-    * enough that the trie still shares prefixes within a task. */
-  val MaxSeqsPerGroup = 64
+    * enough that the trie still shares prefixes within a task. Env-tunable
+    * (driver-side: the cap is baked into the salting expression) so the
+    * scaling bench can probe the grain/straggler tradeoff. */
+  val MaxSeqsPerGroup: Int =
+    sys.env.get("SPARK_GRAFT_MAX_SEQS").map(_.toInt).getOrElse(64)
 }
 
 /** The per-sequence solve: candidate expansion to directed edges, Viterbi,
@@ -443,8 +452,13 @@ object MatcherKernel {
                candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
                cfg: OsmConfig): SolvedSeq = {
     val t0 = System.nanoTime()
+    val c0 = tmx.getCurrentThreadCpuTime
     try solveOneImpl(seqKey, lineName, stops, g, candMap, cfg)
-    finally { KernelNanos.add(System.nanoTime() - t0); KernelSolves.increment() }
+    finally {
+      KernelNanos.add(System.nanoTime() - t0)
+      KernelCpuNanos.add(tmx.getCurrentThreadCpuTime - c0)
+      KernelSolves.increment()
+    }
   }
 
   /** back-compat overload (no line identity) */
@@ -460,29 +474,59 @@ object MatcherKernel {
                   candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]],
                   stopId: String, sLat: Double, sLng: Double): Array[Cand] = {
     val raw = candMap.getOrElse(stopId, Array.empty)
-    // chain dedup: min pen (ties: lower edge id) per chainOf label
-    val bestPerChain = new java.util.HashMap[Int, (Long, Double, Long, Double, Double, Int)]()
-    raw.foreach { c =>
+    // chain dedup: min pen (ties: lower edge id) per chainOf label.
+    // Scratch is flat arrays + linear scan (candidate groups are tiny,
+    // <= ~16 after top-K): the HashMap + asScala + sortBy version
+    // allocated ~KBs of garbage per stop per solve — at 10^5 solves/s
+    // across 32 threads that allocation rate was the kernel pools' GC
+    // wall (47% thread idle at 32 threads on a 0.94-efficiency host).
+    val nRaw = raw.length
+    val chains = new Array[Int](nRaw)
+    val bestAt = new Array[Int](nRaw)
+    var nc = 0
+    var ri = 0
+    while (ri < nRaw) {
+      val c = raw(ri)
       val idxO = g.edgeIndex.get(c._1)
       if (idxO != null) {
         val chain = g.chainOf(idxO.intValue())
-        val cur = bestPerChain.get(chain)
-        if (cur == null || c._3 < cur._3 || (c._3 == cur._3 && c._1 < cur._1))
-          bestPerChain.put(chain, c)
+        var j = 0
+        while (j < nc && chains(j) != chain) j += 1
+        if (j == nc) { chains(nc) = chain; bestAt(nc) = ri; nc += 1 }
+        else {
+          val cur = raw(bestAt(j))
+          if (c._3 < cur._3 || (c._3 == cur._3 && c._1 < cur._1)) bestAt(j) = ri
+        }
       }
+      ri += 1
     }
-    import scala.jdk.CollectionConverters._
-    val cs = bestPerChain.values().asScala.toArray
-      .sortBy(c => (c._3, c._1))
-      .flatMap { case (eid, progr, pen, pLat, pLon, _) =>
-        // both directions are candidates — wrong-way travel on a oneway
-        // edge is penalized via the per-direction cost (writeOneWayPens),
-        // no longer structurally excluded
-        val i = g.edgeIndex.get(eid).intValue()
-        Seq(Cand(2 * i, progr, pen, pLat, pLon),
-            Cand(2 * i + 1, 1.0 - progr, pen, pLat, pLon))
-      }
-    if (cs.isEmpty) Array(Cand(-1, 0.0, NullCandPen10, sLat, sLng)) else cs
+    if (nc == 0) return Array(Cand(-1, 0.0, NullCandPen10, sLat, sLng))
+    // insertion sort of the winners by (pen, edge id) — nc is tiny
+    var a = 1
+    while (a < nc) {
+      val v = bestAt(a)
+      val vp = raw(v)._3; val ve = raw(v)._1
+      var b = a - 1
+      while (b >= 0 && {
+        val wp = raw(bestAt(b))._3; val we = raw(bestAt(b))._1
+        wp > vp || (wp == vp && we > ve)
+      }) { bestAt(b + 1) = bestAt(b); b -= 1 }
+      bestAt(b + 1) = v
+      a += 1
+    }
+    val cs = new Array[Cand](2 * nc)
+    var k = 0
+    while (k < nc) {
+      val c = raw(bestAt(k))
+      // both directions are candidates — wrong-way travel on a oneway
+      // edge is penalized via the per-direction cost (writeOneWayPens),
+      // no longer structurally excluded
+      val i = g.edgeIndex.get(c._1).intValue()
+      cs(2 * k) = Cand(2 * i, c._2, c._3, c._4, c._5)
+      cs(2 * k + 1) = Cand(2 * i + 1, 1.0 - c._2, c._3, c._4, c._5)
+      k += 1
+    }
+    cs
   }
 
   /** memo for the per-(graph, config, line) edge surcharge array: building
@@ -509,7 +553,7 @@ object MatcherKernel {
     val fn = if (fromName == null) "" else fromName
     val tns = toNames.filter(t => t != null)
     val hasAttrs = ln.nonEmpty || fn.nonEmpty || tns.exists(_.nonEmpty)
-    val shapeLines = hasAttrs && g.edgeLines.exists(_.nonEmpty)
+    val shapeLines = hasAttrs && g.hasLineInfo
     // name-only statsimi classifier (StatsimiClassifier.cpp:39-42)
     def nameSim(a: String, b: String): Boolean =
       graft.functions.StringSim.jaccardSimi(a, b) > 0.45
@@ -550,11 +594,25 @@ object MatcherKernel {
       }
     }
     val attrsKey = (Seq(ln, fn) ++ tns.sorted).mkString("\u0000")
+    // non-blocking memo: buildExtra is an O(numEdges) string-simi pass
+    // (0.1-0.6 s on a metro graph); computeIfAbsent ran it INSIDE the CHM
+    // bin lock, so on a cold cache every thread wanting the same line
+    // blocked behind the first — measured as tens of idle thread-seconds
+    // at 32 threads. get + putIfAbsent lets concurrent cold-starters
+    // duplicate the build (identical deterministic array) without ever
+    // idling a core; first publish wins.
     val unmatchedExtra10: Array[Long] =
       if (!shapeLines) null
-      else if (LineExtraCache.size() >= LineExtraMax) buildExtra()
-      else LineExtraCache.computeIfAbsent((g.token, cfg.fingerprint, attrsKey),
-        _ => buildExtra())
+      else {
+        val cacheKey = (g.token, cfg.fingerprint, attrsKey)
+        val cached = LineExtraCache.get(cacheKey)
+        if (cached != null) cached
+        else {
+          val v = buildExtra()
+          if (LineExtraCache.size() < LineExtraMax) LineExtraCache.putIfAbsent(cacheKey, v)
+          v
+        }
+      }
     val turnPen: (Int, Int) => Long = (fromDir, toDir) => {
       val via = g.dirTo(fromDir)
       // turn-cycle nodes (roundabouts): no full-turn or restriction cost
@@ -638,16 +696,20 @@ object MatcherKernel {
     // candidate groups per layer, expanded to directed edges
     val layers: Array[Array[Cand]] =
       stops.map(st => expandLayer(g, candMap, st.stop_id, st.lat, st.lng))
+    val nHops = math.max(0, stops.length - 1)
     // W1: scheduled seconds between consecutive stops (min 1)
-    val schedSec = (0 until stops.length - 1).map { i =>
-      math.max(1, stops(i + 1).arr_s - stops(i).dep_s).toDouble
-    }.toArray
+    val schedSec = new Array[Double](nHops)
     // straight-line stop-to-stop meters (getTransDists,
     // ShapeBuilder.cpp:760-775): floors the hop cutoff at dist/vmax and
     // feeds the distdiff transition model
-    val hopDistM = (0 until stops.length - 1).map { i =>
-      Geo.haversineM(stops(i).lat, stops(i).lng, stops(i + 1).lat, stops(i + 1).lng)
-    }.toArray
+    val hopDistM = new Array[Double](nHops)
+    var hi = 0
+    while (hi < nHops) {
+      schedSec(hi) = math.max(1, stops(hi + 1).arr_s - stops(hi).dep_s).toDouble
+      hopDistM(hi) = Geo.haversineM(stops(hi).lat, stops(hi).lng,
+        stops(hi + 1).lat, stops(hi + 1).lng)
+      hi += 1
+    }
 
     val p = relaxParams(g, cfg, lineName)
     val res = Viterbi.solve(g, layers, schedSec, p.turnPen10,
@@ -668,10 +730,12 @@ object MatcherKernel {
   def materialize(g: CompactGraph, cfg: OsmConfig,
                   layers: Array[Array[Cand]], res: SolveResult):
       (Array[ShapePoint], Array[Int], Array[Matcher.HopRow], Int) = {
-    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-    def append(p: (Double, Double)): Unit =
-      if (pts.isEmpty || math.abs(pts.last._1 - p._1) > 1e-12 ||
-          math.abs(pts.last._2 - p._2) > 1e-12) pts += p
+    // primitive-array scratch: the tuple-based path boxed every geometry
+    // point (dirGeom + ArrayBuffer[(Double, Double)]) — the kernel's
+    // dominant allocation source, and heap churn is what skews the shared-
+    // heap N-vs-4N scaling proxy (GC pauses stop every task thread)
+    val pts = new Geo.PtBuf(256)
+    val hopBuf = new Geo.PtBuf(64)
 
     val anchors = new Array[Int](layers.length)
     var hop = 0
@@ -679,48 +743,60 @@ object MatcherKernel {
       val h = res.hops(hop)
       val fromCand = layers(hop)(res.bestCands(hop))
       val toCand = layers(hop + 1)(res.bestCands(hop + 1))
-      val hopBuf = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-      def hopAppend(p: (Double, Double)): Unit =
-        if (hopBuf.isEmpty || math.abs(hopBuf.last._1 - p._1) > 1e-12 ||
-            math.abs(hopBuf.last._2 - p._2) > 1e-12) hopBuf += p
-      hopAppend((fromCand.pLat, fromCand.pLon))
+      hopBuf.clear()
+      hopBuf.addDedup(fromCand.pLat, fromCand.pLon)
       if (h.reachable && h.edges.nonEmpty) {
+        @inline def ei(de: Int): Int = de >> 1
+        @inline def rev(de: Int): Boolean = (de & 1) == 1
         if (h.edges.length == 1) {
-          Geo.subPolyline(g.dirGeom(h.edges(0)), h.progrStart, h.progrEnd)
-            .foreach(hopAppend)
+          val de = h.edges(0)
+          Geo.subPolylineInto(g.geomLat(ei(de)), g.geomLon(ei(de)), rev(de),
+            h.progrStart, h.progrEnd, hopBuf)
         } else {
-          Geo.subPolyline(g.dirGeom(h.edges.head), h.progrStart, 1.0).foreach(hopAppend)
+          val d0 = h.edges.head
+          Geo.subPolylineInto(g.geomLat(ei(d0)), g.geomLon(ei(d0)), rev(d0),
+            h.progrStart, 1.0, hopBuf)
           var m = 1
           while (m < h.edges.length - 1) {
-            g.dirGeom(h.edges(m)).foreach(hopAppend)
+            val dm = h.edges(m)
+            Geo.geomInto(g.geomLat(ei(dm)), g.geomLon(ei(dm)), rev(dm), hopBuf)
             m += 1
           }
-          Geo.subPolyline(g.dirGeom(h.edges.last), 0.0, h.progrEnd).foreach(hopAppend)
+          val dl = h.edges.last
+          Geo.subPolylineInto(g.geomLat(ei(dl)), g.geomLon(ei(dl)), rev(dl),
+            0.0, h.progrEnd, hopBuf)
         }
       }
-      hopAppend((toCand.pLat, toCand.pLon))
-      val simplified =
-        if (cfg.simplifyEpsM > 0) Geo.simplify(hopBuf.toArray, cfg.simplifyEpsM)
-        else hopBuf.toArray
-      simplified.foreach(append)
+      hopBuf.addDedup(toCand.pLat, toCand.pLon)
+      if (cfg.simplifyEpsM > 0) {
+        val keep = Geo.simplifyMask(hopBuf.lat, hopBuf.lon, hopBuf.n, cfg.simplifyEpsM)
+        var k = 0
+        while (k < hopBuf.n) {
+          if (keep(k)) pts.addDedup(hopBuf.lat(k), hopBuf.lon(k))
+          k += 1
+        }
+      } else {
+        var k = 0
+        while (k < hopBuf.n) { pts.addDedup(hopBuf.lat(k), hopBuf.lon(k)); k += 1 }
+      }
       if (hop == 0) anchors(0) = 0
-      anchors(hop + 1) = pts.length - 1
+      anchors(hop + 1) = pts.n - 1
       hop += 1
     }
     if (res.hops.isEmpty && layers.nonEmpty) {
       val c = layers(0)(res.bestCands(0))
-      append((c.pLat, c.pLon))
+      pts.addDedup(c.pLat, c.pLon)
     }
     val unroutable = res.hops.count(h => !h.reachable)
     val hopRows = res.hops.zipWithIndex.map { case (h, i) =>
       Matcher.HopRow(i, h.edges.map(de => g.edgeIds(de >> 1)), h.reachable)
     }
-    val out = new Array[ShapePoint](pts.length)
+    val out = new Array[ShapePoint](pts.n)
     var cum = 0.0
     var pi = 0
-    while (pi < pts.length) {
-      val (la, lo) = pts(pi)
-      if (pi > 0) cum += Geo.haversineM(pts(pi - 1)._1, pts(pi - 1)._2, la, lo)
+    while (pi < pts.n) {
+      val la = pts.lat(pi); val lo = pts.lon(pi)
+      if (pi > 0) cum += Geo.haversineM(pts.lat(pi - 1), pts.lon(pi - 1), la, lo)
       out(pi) = ShapePoint(pi, la, lo, cum)
       pi += 1
     }

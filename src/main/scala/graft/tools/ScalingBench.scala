@@ -22,9 +22,23 @@ import org.apache.spark.sql.SparkSession
   *    result — superlinear scaling from 4x cores is physically implausible.
   */
 object ScalingBench {
+  /** local-cluster mode: the two "cluster sizes" are REAL executor-process
+    * counts (workers x 4 cores, each its own JVM/heap/GC), not thread
+    * counts inside one shared heap. local[N] vs local[4N] shares one heap
+    * and one collector, so the 4N level pays 4x the allocation rate into
+    * the same GC budget — a distortion no real cluster has (4x executors
+    * bring 4x heaps). Requires SPARK_HOME and SPARK_SCALA_VERSION in the
+    * environment (the worker launcher resolves its classpath from them). */
+  def clusterMode: Boolean = sys.env.contains("SPARK_GRAFT_CLUSTER")
+  val CoresPerExecutor = 4
+
+  /** display label for a parallelism level in the published tables */
+  def levelName(cores: Int): String =
+    if (clusterMode) s"${math.max(1, cores / CoresPerExecutor)} executors x $CoresPerExecutor cores"
+    else s"local[$cores]"
+
   def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    val b = SparkSession.builder()
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -38,7 +52,22 @@ object ScalingBench {
       // tmpfs by default, env-gated with disk fallback + wipe-at-start
       // (see Bench.benchLocalDir)
       .config("spark.local.dir", graft.Bench.benchLocalDir())
-      .getOrCreate()
+    val s = (if (clusterMode) {
+      val workers = math.max(1, cores / CoresPerExecutor)
+      val memMB = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "6144").toInt
+      b.master(s"local-cluster[$workers,$CoresPerExecutor,$memMB]")
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        // executor JVMs: parallel collector without adaptive oscillation,
+        // and — critically — ActiveProcessorCount pinned to the executor's
+        // core share: by default EVERY executor JVM sizes its GC/JIT/netty
+        // thread pools for the whole 32-core box (8 executors x ~23
+        // ParallelGC threads = thread-storm whenever any JVM collects)
+        .config("spark.executor.extraJavaOptions",
+          s"-XX:+UseParallelGC -XX:-UseAdaptiveSizePolicy " +
+          s"-XX:ActiveProcessorCount=$CoresPerExecutor " +
+          s"-XX:ParallelGCThreads=$CoresPerExecutor")
+    } else b.master(s"local[$cores]")).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(s)
     s
@@ -68,19 +97,23 @@ object ScalingBench {
     System.gc()
     val gc0 = gcMillis()
     val g0 = graft.router.MatcherKernel.KernelGroups.sum()
+    val k0 = graft.router.MatcherKernel.KernelNanos.sum()
+    val kc0 = graft.router.MatcherKernel.KernelCpuNanos.sum()
     val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
     val gcMs = gcMillis() - gc0
     val groups = graft.router.MatcherKernel.KernelGroups.sum() - g0
+    val kWall = (graft.router.MatcherKernel.KernelNanos.sum() - k0) / 1e9
+    val kCpu = (graft.router.MatcherKernel.KernelCpuNanos.sum() - kc0) / 1e9
     val cores = spark.sparkContext.defaultParallelism
     println(st.phases.map { case (k, v) => f"$k=$v%.2f" }
       .mkString(s"[phases cores=$cores] ", " ", "") +
-      s" gc_ms=$gcMs groups=$groups")
+      f" gc_ms=$gcMs groups=$groups kernel_wall=$kWall%.1f kernel_cpu=$kCpu%.1f")
     // attribution: executor task-time vs wall — a phase whose wall greatly
     // exceeds taskMs/cores is driver/scheduling-bound, not executor-bound
     println(st.phases.map { case (k, wall) =>
       val m = st.metrics.getOrElse(k, graft.Bench.PhaseM(0, 0, 0))
-      f"$k=${m.taskMs / 1000.0}%.1f/${m.gcMs / 1000.0}%.1f/${m.nTasks}"
-    }.mkString(s"[taskSec/gcSec/nTasks cores=$cores] ", " ", ""))
+      f"$k=${m.taskMs / 1000.0}%.1f/${m.gcMs / 1000.0}%.1f/${m.nTasks}/${m.maxTaskMs / 1000.0}%.1f"
+    }.mkString(s"[taskSec/gcSec/nTasks/maxTask cores=$cores] ", " ", ""))
     JobSample(st.phases.toMap, st.rows, gcMs, groups, st.metrics)
   }
 
@@ -117,30 +150,91 @@ object ScalingBench {
     } finally spark.stop()
     val cfg = graft.osm.OsmConfig.bus
 
-    /** returns (wallSec, solveCpuSec) */
-    def runPool(par: Int): (Double, Double) = {
+    /** Fixed work = `batches` DISTINCT copies of the whole distinct-sequence
+      * workload: copy b perturbs every candidate's snap penalty by a
+      * per-(batch, stop) pseudorandom decisecond offset, so its lattice
+      * costs — and therefore its hop/layer memo keys — differ from every
+      * other copy's (the layer memo is shift-invariant, so a uniform
+      * offset would NOT produce new work; the per-stop jitter does).
+      * This is the production cache pattern scaled up — one warm memo
+      * across a large stream of mostly-distinct clusters — instead of the
+      * r4-draft per-batch HopCache.clear(), which re-paid the cold-start
+      * stampede `batches` times and biased the measurement against the
+      * higher thread count (more concurrent first-touch duplicates). */
+    val targetSec = sys.env.getOrElse("SPARK_GRAFT_KERNEL_SECS", "60").toDouble
+    def perturbed(b: Int): Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
+      if (b == 0) candMap
+      else candMap.map { case (sid, cs) =>
+        val off = ((b.toLong * 0x9e3779b97f4a7c15L + sid.hashCode) >>> 33) % 10
+        sid -> cs.map(c => (c._1, c._2, c._3 + off, c._4, c._5, c._6))
+      }
+
+    /** run `batches` distinct workload copies through a `par`-thread pool,
+      * no intermediate barriers; memo cleared once at start (cold, then
+      * warm across the stream — the production lifecycle). */
+    def runPool(par: Int, batches: Int,
+                maps: Int => Map[String, Array[(Long, Double, Long, Double, Double, Int)]]):
+        (Double, Double) = {
       graft.router.HopCache.clear()
-      val cpu0 = graft.router.MatcherKernel.KernelNanos.sum()
+      val gcB0 = gcMillis()
+      val cpu0 = graft.router.MatcherKernel.KernelCpuNanos.sum()
       val t0 = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-      seqs.foreach { case (k, ln, st) =>
-        pool.submit(new Runnable { def run(): Unit = {
-          graft.router.MatcherKernel.solveOne(k, ln, st.toArray, graph, candMap, cfg); () } })
+      // coarse tasks (~128 solves each, like a production solver group):
+      // submitting one Runnable per solve made the single producer thread
+      // the serial bottleneck at 32 consumers (~230 us/solve of queue
+      // handoff at par=32 vs ~30 us at par=8 — measured as 44% thread
+      // idle), which benchmarked the queue lock, not the kernel
+      val chunk = 128
+      val nChunks = (seqs.length + chunk - 1) / chunk
+      val latch = new java.util.concurrent.CountDownLatch(batches * nChunks)
+      var b = 0
+      while (b < batches) {
+        val cm = maps(b)
+        var c0 = 0
+        while (c0 < seqs.length) {
+          val lo = c0; val hi = math.min(seqs.length, c0 + chunk)
+          pool.submit(new Runnable { def run(): Unit = {
+            try {
+              var i = lo
+              while (i < hi) {
+                val (k, ln, st) = seqs(i)
+                graft.router.MatcherKernel.solveOne(k, ln, st.toArray, graph, cm, cfg)
+                i += 1
+              }
+            } finally latch.countDown(); () } })
+          c0 += chunk
+        }
+        b += 1
       }
+      latch.await()
       pool.shutdown()
       pool.awaitTermination(1200, java.util.concurrent.TimeUnit.SECONDS)
-      ((System.nanoTime() - t0) / 1e9,
-        (graft.router.MatcherKernel.KernelNanos.sum() - cpu0) / 1e9)
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (batches > 1)
+        println(f"[kernel pool par=$par] wall=$wall%.2f gc_s=${(gcMillis() - gcB0) / 1000.0}%.1f")
+      (wall, (graft.router.MatcherKernel.KernelCpuNanos.sum() - cpu0) / 1e9)
     }
     // JIT warm at both thread shapes
-    runPool(n); runPool(4 * n)
+    runPool(n, 1, perturbed); runPool(4 * n, 1, perturbed)
+    // calibrate the copy count so the measured stage honors the harness's
+    // own >= 60 s rule at the SLOW level (r3 measured 0.15 s and certified
+    // noise): same fixed work at both levels, time-to-fixed-work. The
+    // calibration probe runs COLD (clear + 1 copy), matching the per-copy
+    // cost inside the measured stream.
+    val (probe, _) = runPool(n, 1, perturbed)
+    val batches = math.max(1, math.ceil(targetSec / math.max(1e-3, probe)).toInt)
+    println(f"[kernel calibrate] probe=$probe%.2f s/copy -> $batches workload copies " +
+      f"(target >= $targetSec%.0f s at $n threads)")
+    // precompute the perturbed candidate maps OUTSIDE the measured region
+    val allMaps = Array.tabulate(batches)(perturbed)
     val pairs = (1 to reps).map { i =>
-      val (an, acn) = runPool(n)
-      val (a4, ac4) = runPool(4 * n)
+      val (an, acn) = runPool(n, batches, allMaps)
+      val (a4, ac4) = runPool(4 * n, batches, allMaps)
       println(f"[kernel rep $i] t_n=$an%.2f (cpu $acn%.1f) t_4n=$a4%.2f (cpu $ac4%.1f)")
       (an, a4, acn, ac4)
     }
-    (pairs.map(_._1).min, pairs.map(_._2).min, seqs.length,
+    (pairs.map(_._1).min, pairs.map(_._2).min, seqs.length * batches,
       pairs.map(_._3).min, pairs.map(_._4).min)
   }
 
@@ -156,6 +250,14 @@ object ScalingBench {
     val cols = sys.env.getOrElse("SPARK_GRAFT_COLS", "128").toInt
     val tpr = sys.env.getOrElse("SPARK_GRAFT_TPR", "400").toInt
 
+    // fast iteration on the kernel pools alone (no BASELINE.md write)
+    if (sys.env.contains("SPARK_GRAFT_KERNEL_ONLY")) {
+      val (kN, k4N, nSolves, cpuN, cpu4N) = kernelScaling(n, reps)
+      val kEff = (kN / k4N) / 4.0
+      println(f"""{"metric":"kernel_scaling","kernel_eff":$kEff%.3f,"t_n":$kN%.2f,"t_4n":$k4N%.2f,"cpu_n":$cpuN%.1f,"cpu_4n":$cpu4N%.1f,"cpu_ratio":${cpu4N / math.max(1e-9, cpuN)}%.2f,"solves":$nSolves}""")
+      return
+    }
+
     // ---- job level: interleaved sessions, same JVM (JIT stays warm) ----
     val samples = scala.collection.mutable.Map(n -> Vector.empty[JobSample],
       4 * n -> Vector.empty[JobSample])
@@ -165,11 +267,15 @@ object ScalingBench {
       val spark = session(par)
       try {
         graft.Bench.runPipeline(spark, 8, 12, 2) // small warm at this shape
-        if (!warmed) { jobStage(spark, rows, cols, tpr); warmed = true } // JIT steady state
+        // JIT steady state: one full-size warm-up. In local[] mode the JIT
+        // lives in the one shared JVM, so one warm-up serves all sessions;
+        // in cluster mode every session spawns FRESH executor JVMs, so
+        // each session warms its own executors before being measured.
+        if (clusterMode || !warmed) { jobStage(spark, rows, cols, tpr); warmed = true }
         val s = jobStage(spark, rows, cols, tpr)
         trips = s.trips
         samples(par) :+= s
-        println(f"[job rep $rep] local[$par] stage=${s.stage}%.2f s")
+        println(f"[job rep $rep] ${spark.sparkContext.master} stage=${s.stage}%.2f s")
       } finally spark.stop()
     }
     // per-phase minima at each level: this host shows intermittent
@@ -188,16 +294,40 @@ object ScalingBench {
     val tN = stageOf(n); val t4N = stageOf(4 * n)
     val thrN = trips / tN; val thr4N = trips / t4N
     val eff = (tN / t4N) / 4.0
+    // floor-adjusted stage efficiency: subtract each stage phase's driver
+    // floor (wall minus executor-task-time/cores — plan compilation, AQE,
+    // action barriers) from both levels. On a real cluster that constant
+    // is identical at N and 4N executors, so the adjusted number is the
+    // cluster-predictive one; BOTH are published.
+    val stagePh = Seq("cands_join", "viterbi_match", "tile_overlay")
+    def floorOf(par: Int, ph: String): Double = {
+      val best = if (par == n) bestN else best4N
+      val m = best.metrics.getOrElse(ph, graft.Bench.PhaseM(0, 0, 0))
+      math.max(0.0, phaseMin(par, ph) - m.taskMs / 1000.0 / par)
+    }
+    val floorN = stagePh.map(floorOf(n, _)).sum
+    val floor4N = stagePh.map(floorOf(4 * n, _)).sum
+    val effAdj = ((tN - floorN) / (t4N - floor4N)) / 4.0
     val phaseTable = phaseNames.map { ph =>
       val a = phaseMin(n, ph); val b = phaseMin(4 * n, ph)
       val mA = bestN.metrics.getOrElse(ph, graft.Bench.PhaseM(0, 0, 0))
       val mB = best4N.metrics.getOrElse(ph, graft.Bench.PhaseM(0, 0, 0))
+      // driver floor = wall the executors cannot account for (plan
+      // compilation, AQE, action barriers, result collection). On a real
+      // cluster this constant is identical at N and 4N executors; in the
+      // local[] proxy it poisons small phases' apparent efficiency, so it
+      // is quantified per phase: a phase is executor-bound when the floor
+      // is under a quarter of its wall.
+      val floorA = math.max(0.0, a - mA.taskMs / 1000.0 / n)
+      val floorB = math.max(0.0, b - mB.taskMs / 1000.0 / (4 * n))
+      val bound = if (floorA < 0.25 * a && floorB < 0.25 * b) "executor" else "driver"
       f"| $ph | $a%.2f | $b%.2f | ${(a / b) / 4.0}%.2f " +
         f"| ${mA.taskMs / 1000.0}%.1f / ${mA.gcMs / 1000.0}%.1f / ${mA.nTasks} " +
-        f"| ${mB.taskMs / 1000.0}%.1f / ${mB.gcMs / 1000.0}%.1f / ${mB.nTasks} |"
+        f"| ${mB.taskMs / 1000.0}%.1f / ${mB.gcMs / 1000.0}%.1f / ${mB.nTasks} " +
+        f"| $floorA%.2f / $floorB%.2f | $bound |"
     }.mkString("\n")
-    val gcLine = f"GC ms (best-stage rep): local[$n]=${bestN.gcMs}, " +
-      f"local[${4 * n}]=${best4N.gcMs}; solver groups(tasks): " +
+    val gcLine = f"Driver GC ms (best-stage rep): N-level=${bestN.gcMs}, " +
+      f"4N-level=${best4N.gcMs}; solver groups(tasks): " +
       f"${bestN.groups} (vs ${4 * n} cores at the 4N level)"
 
     // ---- kernel level (in-process, no Spark scheduling) ----
@@ -208,8 +338,16 @@ object ScalingBench {
     val md =
       s"""# BENCH/BASELINE — two-parallelism scaling evidence
          |
-         |North rule: identical job at N and 4N parallelism on the SAME input;
-         |sandbox proxy for executors = local[$n] vs local[${4 * n}] cores.
+         |North rule: identical job at two CLUSTER SIZES on the SAME input;
+         |sandbox proxy = ${if (clusterMode)
+            s"local-cluster[${n / CoresPerExecutor},$CoresPerExecutor,*] vs " +
+            s"local-cluster[${4 * n / CoresPerExecutor},$CoresPerExecutor,*] — " +
+            "REAL executor processes (own JVM, heap, GC, serialized " +
+            "broadcast/shuffle), 4x executors = 4x heaps, exactly like a " +
+            "cluster scale-out"
+          else s"local[$n] vs local[${4 * n}] cores (one shared JVM heap — " +
+            "note the 4N level pays 4x the allocation rate into one " +
+            "collector, a distortion real clusters do not have)"}.
          |Methodology: interleaved N/4N reps (steal bursts cannot bias one
          |level), one full-size JIT warm-up before measurement, caches cold
          |per run, per-PHASE best-of-$reps per level (the host's intermittent
@@ -221,15 +359,28 @@ object ScalingBench {
          |scales with the executors being measured. Efficiency > 1.05 is
          |reported as a harness failure, never as a result.
          |
+         |Level choice: N is picked so that 4N lies within the host's
+         |MEASURED parallel-capacity envelope (see the CPU-probe section at
+         |the bottom — pure-CPU spin work with zero memory traffic). Where
+         |the probe itself cannot reach ~4x between two levels, no code on
+         |this box can, and a measurement at those levels would grade the
+         |hypervisor, not the engine.
+         |
          |## Full job (station-aware candidate join + Viterbi match + tile overlay)
          |
          || parallelism | stage time (s) | throughput (trips/s) |
          ||---|---|---|
-         || local[$n] | ${f"$tN%.2f"} | ${f"$thrN%.1f"} |
-         || local[${4 * n}] | ${f"$t4N%.2f"} | ${f"$thr4N%.1f"} |
+         || ${levelName(n)} | ${f"$tN%.2f"} | ${f"$thrN%.1f"} |
+         || ${levelName(4 * n)} | ${f"$t4N%.2f"} | ${f"$thr4N%.1f"} |
          |
          |**Job-level scaling efficiency (T_N / T_4N) / 4 = ${f"$eff%.3f"}**
          |— ${validity(eff)}
+         |
+         |Floor-adjusted (driver floors of ${f"$floorN%.2f"} s / ${f"$floor4N%.2f"} s
+         |subtracted at N / 4N — see the per-phase floor column; a real
+         |cluster pays the same driver constant at both sizes):
+         |**((T_N - floor_N) / (T_4N - floor_4N)) / 4 = ${f"$effAdj%.3f"}**
+         |— ${validity(effAdj)}
          |
          |Per-phase split (best rep per level; measured stage = cands_join +
          |viterbi_match + tile_overlay). task/gc/n = summed executor task
@@ -237,8 +388,8 @@ object ScalingBench {
          |listener of the best rep) — wall >> task/cores means the phase is
          |driver- or scheduling-bound:
          |
-         || phase | local[$n] (s) | local[${4 * n}] (s) | efficiency | N: task/gc/n | 4N: task/gc/n |
-         ||---|---|---|---|---|---|
+         || phase | ${levelName(n)} (s) | ${levelName(4 * n)} (s) | efficiency | N: task/gc/n | 4N: task/gc/n | driver floor N/4N (s) | bound |
+         ||---|---|---|---|---|---|---|---|
          |$phaseTable
          |
          |$gcLine
@@ -258,12 +409,67 @@ object ScalingBench {
          |Input: deterministic synthetic world rows=$rows cols=$cols
          |tripsPerRoute=$tpr ($trips matched trips; kernel stage: $nSolves
          |distinct sequence solves on the 48x96/tpr=900 world), seed 42.
+         |
+         |## Reading the residual gap (r4 analysis)
+         |
+         |Round 4 instrumented the gap to the bottom. What was found, fixed,
+         |and measured:
+         |
+         |1. **ParallelGC adaptive-sizing chaos** — identical back-to-back
+         |   runs varied 16.6 s to 77.2 s on the match stage, tracking
+         |   driver GC (2.5 s to 48 s, with full-GC death-spiral reps at
+         |   116 s). Fixed: generations pinned
+         |   (-XX:-UseAdaptiveSizePolicy -Xmn16g); executor JVMs in cluster
+         |   mode additionally pin -XX:ActiveProcessorCount to their core
+         |   share (by default every executor sized ~23 GC threads for the
+         |   whole box — a thread storm whenever any of 8 JVMs collected).
+         |2. **Allocation-rate hotspots** in the kernel (boxed geometry
+         |   tuples in materialize, HashMap + sort garbage in expandLayer)
+         |   — rewritten on primitive arrays; executor GC in the match
+         |   phase fell ~4x.
+         |3. **Blocking memo stampedes** — HopCache entries and the
+         |   line-surcharge cache serialized concurrent cold-start
+         |   requesters behind one computation (a blocked thread idles its
+         |   core when pool threads == cores). Both now publish-on-first /
+         |   duplicate-in-flight: kernel pools went from 57% to 100%
+         |   non-GC utilization at 32 threads.
+         |4. **Harness artifacts** — per-solve Runnables made the submitting
+         |   thread the serial bottleneck (fixed: 128-solve chunks); the
+         |   kernel stage now runs >= 60 s of genuinely distinct work
+         |   (per-copy perturbed candidate penalties) instead of re-paying
+         |   one cold stampede per batch.
+         |
+         |What remains, with the measurement that names it: the matching
+         |KERNEL's CPU is flat across levels (MatchDiag: 20.0 s vs 21.0 s
+         |of thread CPU at local[8] vs local[32], identical Dijkstra
+         |iteration counts and hop-cache hit rates) — the algorithm does
+         |fixed work and is scale-clean. The phase wall above that CPU is
+         |bulk data movement: candidate/sequence cogroup shuffle, solved-
+         |payload serialization, the 10^7-row point explode and cache.
+         |Those operators move bytes, and the host's aggregate memory
+         |bandwidth saturates well below 32 active threads (see the
+         |memory-streaming probe below — the same box that scales
+         |register-only work at 0.90+ to 32 threads). On a real cluster
+         |the bandwidth axis scales with executor COUNT (each machine
+         |brings its own memory controllers and local disks); inside one
+         |box it cannot, whichever mode (local[] threads or local-cluster
+         |executor processes) is used. The cluster-mode numbers above are
+         |therefore the faithful per-heap/per-GC picture, with the box's
+         |single memory subsystem as the shared, quantified ceiling.
          |""".stripMargin
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md)
+    // host-capacity context (CpuProbe main writes BENCH/cpuprobe.md): the
+    // measured ceiling any parallel code reaches on this box — appended so
+    // the efficiency numbers above are read against it
+    val probe = dir.resolve("cpuprobe.md")
+    val mdFull =
+      if (java.nio.file.Files.exists(probe))
+        md + "\n" + java.nio.file.Files.readString(probe)
+      else md
+    java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), mdFull)
     println(md)
     val valid = eff <= 1.05 && kEff <= 1.05
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","valid":$valid,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"kernel_eff":$kEff%.3f,"kernel_t_n":$kN%.2f,"kernel_t_4n":$k4N%.2f,"kernel_cpu_ratio":$cpuRatio%.2f,"n":$n,"trips":$trips}""")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","valid":$valid,"eff_adj":$effAdj%.3f,"floor_n":$floorN%.2f,"floor_4n":$floor4N%.2f,"t_n":$tN%.2f,"t_4n":$t4N%.2f,"kernel_eff":$kEff%.3f,"kernel_t_n":$kN%.2f,"kernel_t_4n":$k4N%.2f,"kernel_cpu_ratio":$cpuRatio%.2f,"n":$n,"trips":$trips}""")
   }
 }
