@@ -23,18 +23,31 @@ object Bench {
     * memory), and the directory is wiped at session start — tmpfs blocks
     * from a crashed previous run are pure RAM waste. */
   def benchLocalDir(): String = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+    val base = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
       else System.getProperty("java.io.tmpdir") + "/graft-spark-local")
-    val f = new java.io.File(dir)
-    if (f.isDirectory) {
-      def rm(x: java.io.File): Unit = {
-        val cs = x.listFiles(); if (cs != null) cs.foreach(rm); x.delete(); ()
-      }
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+    // per-JVM subdir named by pid: wiping the SHARED path at session start
+    // deleted the live block-manager dirs of any concurrently running
+    // bench (measured as a mid-run NoSuchFileException crash). Instead
+    // each JVM owns pid-<n>, and stale siblings are reclaimed only when
+    // their owning pid is dead — crashed runs still cannot leak tmpfs RAM.
+    val pid = ProcessHandle.current().pid()
+    def rm(x: java.io.File): Unit = {
+      val cs = x.listFiles(); if (cs != null) cs.foreach(rm); x.delete(); ()
     }
+    val bf = new java.io.File(base)
+    val sib = bf.listFiles()
+    if (sib != null) sib.foreach { d =>
+      val nm = d.getName
+      if (nm.startsWith("pid-")) {
+        val alive = nm.drop(4).toLongOption
+          .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        if (!alive) rm(d)
+      } else rm(d) // pre-pid-scheme leftovers
+    }
+    val f = new java.io.File(bf, s"pid-$pid")
     f.mkdirs()
-    dir
+    f.getAbsolutePath
   }
 
   /** per-phase Spark task metrics: (executor task ms, executor GC ms,

@@ -30,7 +30,14 @@ object ScalingBench {
     * bring 4x heaps). Requires SPARK_HOME and SPARK_SCALA_VERSION in the
     * environment (the worker launcher resolves its classpath from them). */
   def clusterMode: Boolean = sys.env.contains("SPARK_GRAFT_CLUSTER")
-  val CoresPerExecutor = 4
+  /** cores per executor JVM. Default 4 mirrors a common cluster shape;
+    * override (SPARK_GRAFT_EXEC_CORES) to measure at level pairs the host
+    * probe certifies — e.g. 2 lets 1-vs-4 executors (2 vs 8 cores) sit
+    * inside the box's measured parallel-capacity envelope, where 8-vs-32
+    * is bandwidth-saturated whatever the code does (BENCH/BASELINE.md,
+    * CPU/memory probes). */
+  val CoresPerExecutor: Int =
+    sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
 
   /** display label for a parallelism level in the published tables */
   def levelName(cores: Int): String =
