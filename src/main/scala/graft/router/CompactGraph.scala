@@ -58,6 +58,18 @@ class CompactGraph(
     * cross-serve memoized costs over coinciding dense indices. */
   val token: Long = CompactGraph.TokenCounter.incrementAndGet()
 
+  /** top-level build epoch: subset/concat graphs inherit their parent's,
+    * so one pipeline run — whose component bins and on-demand merges are
+    * all alive at once — forms ONE cache generation (HopCache.gen). A
+    * fresh top-level build starts a new generation and retires old ones:
+    * without that, a long-lived executor that serves many graph builds
+    * accumulates dead-token entries until the no-eviction caches hit
+    * capacity and stop memoizing entirely. Serialized with the broadcast
+    * copy (monotonic: TokenCounter). */
+  private var epochVar: Long = -1L
+  def epoch: Long = if (epochVar >= 0) epochVar else token
+  private[router] def setEpoch(e: Long): this.type = { epochVar = e; this }
+
   val numEdges: Int = edgeFrom.length
 
   /** external edge id -> dense index. Boxed value type: with a primitive
@@ -367,6 +379,7 @@ object CompactGraph {
       edgeLinesFrom = elnF, edgeLinesTo = elnT,
       oneWaySpeedPen = g.oneWaySpeedPen, oneWayEntryCostSec = g.oneWayEntryCostSec,
       turnCycleNodesIn = g.rawTurnCycles.filter(nodeSet.contains))
+      .setEpoch(g.epoch)
   }
 
   /** Merge disjoint subset graphs back into one, restoring global
@@ -405,6 +418,7 @@ object CompactGraph {
       oneWaySpeedPen = parts.head.oneWaySpeedPen,
       oneWayEntryCostSec = parts.head.oneWayEntryCostSec,
       turnCycleNodesIn = parts.flatMap(_.rawTurnCycles).distinct.toArray)
+      .setEpoch(parts.head.epoch)
   }
 
   /** Build from the GraphBuilder edges + restrictions DataFrames (collect on

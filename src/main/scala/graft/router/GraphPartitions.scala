@@ -67,12 +67,13 @@ object GraphPartitions {
   val MinBinEdges = 4096
   val MaxBins = 64
 
-  /** Cross-bin merge memo (per executor JVM): clusters spanning the same
-    * bin set share one merged instance — also keeps HopCache ctx (keyed on
-    * the graph token) consistent across those clusters. Bounded; over
-    * capacity merges run uncached (deterministic, like HopCache). */
-  private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CompactGraph]()
+  /** Cross-bin merge memo (per executor JVM, generational on the build
+    * epoch — HopCache.gen — so merged graphs die with their build instead
+    * of pinning whole dead graphs on a long-lived executor): clusters
+    * spanning the same bin set share one merged instance — also keeps
+    * HopCache ctx (keyed on the graph token) consistent across those
+    * clusters. Bounded; over capacity merges run uncached (deterministic,
+    * like HopCache). */
   private val MaxMerged = 64
   /** merged-graph resolutions (diagnostics: how often the multi-bin path
     * actually fires — it should be rare on a well-separated world) */
@@ -83,6 +84,7 @@ object GraphPartitions {
     MergedResolves.increment()
     import scala.jdk.CollectionConverters._
     val binIdx = touched.asScala.toArray.map(_.intValue())
+    val mergeCache = HopCache.gen(parts.bins(0).value.epoch).merged
     val key = binIdx.map(b => parts.bins(b).value.token).mkString(",")
     val cached = mergeCache.get(key)
     if (cached != null) return cached
@@ -91,7 +93,6 @@ object GraphPartitions {
     val again = mergeCache.get(key)
     if (again != null) again else g
   }
-  def clearMergeCache(): Unit = mergeCache.clear()
 
   /** Trivial single-bin partitioning (reuses the graph instance). */
   def single(spark: SparkSession, graph: CompactGraph): GraphPartitions =
@@ -110,8 +111,7 @@ object GraphPartitions {
     var i = 0
     while (i < graph.numEdges) {
       val c = graph.compOfEdge(i)
-      val cur = sizes.get(c)
-      sizes.put(c, if (cur == null) 1 else cur + 1)
+      sizes.put(c, sizes.getOrDefault(c, 0) + 1)
       i += 1
     }
     if (sizes.size <= 1 || graph.numEdges < 2 * minBinEdges)

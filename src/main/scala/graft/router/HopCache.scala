@@ -66,8 +66,60 @@ object HopCache {
     def computeAndPublish(): Val = { val r = compute(); v = r; r }
   }
 
-  private val map = new ConcurrentHashMap[Key, Entry]()
-  private val mapCount = new java.util.concurrent.atomic.LongAdder()
+  /** One cache GENERATION = all memos of one top-level graph build
+    * (CompactGraph.epoch — component bins and merged bin graphs share
+    * their parent's epoch, so a whole pipeline run is one generation).
+    * The per-generation maps keep the original no-eviction-within-a-run
+    * determinism; RETIRING whole dead generations is what the flat global
+    * maps could not do — a long-lived executor that serves many builds
+    * (warm-up + measured bench runs, sequential GTFS feeds in a service)
+    * filled the global capacity with dead-token entries and then ran
+    * every later build unmemoized. Dropping a generation never changes
+    * results: entries are scoped to their graph token, and an evicted
+    * entry is recomputed identically on next touch. */
+  final class Gen {
+    private[HopCache] val map = new ConcurrentHashMap[Key, Entry]()
+    private[HopCache] val mapCount = new java.util.concurrent.atomic.LongAdder()
+    private[HopCache] val layerMap = new ConcurrentHashMap[LayerKey, LayerEntry]()
+    private[HopCache] val layerCount = new java.util.concurrent.atomic.LongAdder()
+    /** per-(graph token, cfg fingerprint, attrs) line-surcharge arrays
+      * (Matcher.relaxParams) — token-scoped because the arrays index THIS
+      * bin/merged graph's dense edges */
+    private[router] val lineExtra =
+      new ConcurrentHashMap[(Long, Long, String), Array[Long]]()
+    /** cross-bin merge memo (GraphPartitions.merged), keyed by the joined
+      * bin-token list */
+    private[router] val merged = new ConcurrentHashMap[String, CompactGraph]()
+    private[HopCache] def size: Int = map.size() + layerMap.size()
+  }
+
+  private val gens = new ConcurrentHashMap[java.lang.Long, Gen]()
+  /** two live generations: the current build plus its predecessor (a
+    * warm-up world, or the previous feed while its last tasks drain) */
+  val MaxGens = 2
+
+  /** resolve (or create) the generation for a build epoch. Epoch ids are
+    * monotonic (CompactGraph.TokenCounter), so "newest MaxGens epochs"
+    * = evict the smallest key. Creation is rare (once per top-level graph
+    * build per JVM) — the lock never sits on the lookup hot path. */
+  def gen(epoch: Long): Gen = {
+    val t = java.lang.Long.valueOf(epoch)
+    val g = gens.get(t)
+    if (g != null) return g
+    gens.synchronized {
+      val g2 = gens.get(t)
+      if (g2 != null) return g2
+      val ng = new Gen
+      gens.put(t, ng)
+      while (gens.size() > MaxGens) {
+        var min = Long.MaxValue
+        val it = gens.keySet().iterator()
+        while (it.hasNext) { val k = it.next(); if (k < min) min = k }
+        gens.remove(java.lang.Long.valueOf(min))
+      }
+      ng
+    }
+  }
 
   def targetsHash(targets: Array[Int]): Long = {
     var h = 1125899906842597L
@@ -82,12 +134,13 @@ object HopCache {
     * workspace (it may run on whichever thread touches the entry first).
     * Over MaxEntries, computes run uncached (deterministic: no eviction).
     * A 64-bit targets-hash collision also computes uncached. */
-  def getOrCompute(key: Key, targets: Array[Int], compute: () => Val): Val = {
+  def getOrCompute(epoch: Long, key: Key, targets: Array[Int], compute: () => Val): Val = {
+    val g = gen(epoch)
     var created = false
     val e =
-      if (mapCount.sum() >= MaxEntries) map.get(key)
-      else map.computeIfAbsent(key, _ => {
-        created = true; mapCount.increment(); new Entry(compute)
+      if (g.mapCount.sum() >= MaxEntries) g.map.get(key)
+      else g.map.computeIfAbsent(key, _ => {
+        created = true; g.mapCount.increment(); new Entry(compute)
       })
     val v =
       if (created) { Misses.increment(); e.computeAndPublish() }
@@ -122,9 +175,6 @@ object HopCache {
     def published: LayerVal = v
     def computeAndPublish(): LayerVal = { val r = compute(); v = r; r }
   }
-  private val layerMap = new ConcurrentHashMap[LayerKey, LayerEntry]()
-  private val layerCount = new java.util.concurrent.atomic.LongAdder()
-
   def srcsHash(srcs: Array[Long]): Long = {
     var h = 0x9e3779b97f4a7c15L
     var i = 0
@@ -132,13 +182,14 @@ object HopCache {
     h
   }
 
-  def layerGetOrCompute(key: LayerKey, srcs: Array[Long], targets: Array[Int],
+  def layerGetOrCompute(epoch: Long, key: LayerKey, srcs: Array[Long], targets: Array[Int],
                         compute: () => LayerVal): LayerVal = {
+    val g = gen(epoch)
     var created = false
     val e =
-      if (layerCount.sum() >= MaxEntries) layerMap.get(key)
-      else layerMap.computeIfAbsent(key, _ => {
-        created = true; layerCount.increment(); new LayerEntry(compute)
+      if (g.layerCount.sum() >= MaxEntries) g.layerMap.get(key)
+      else g.layerMap.computeIfAbsent(key, _ => {
+        created = true; g.layerCount.increment(); new LayerEntry(compute)
       })
     val v =
       if (created) { Misses.increment(); e.computeAndPublish() }
@@ -153,13 +204,13 @@ object HopCache {
     else compute() // hash collision: compute fresh, don't poison the entry
   }
 
-  def clear(): Unit = {
-    map.clear(); layerMap.clear()
-    mapCount.reset(); layerCount.reset()
-    MatcherKernel.clearLineExtraCache() // same lifecycle: per-graph memo
-    GraphPartitions.clearMergeCache()   // ditto (keyed by graph tokens)
+  def clear(): Unit = { gens.clear(); Hits.reset(); Misses.reset() }
+  def size(): Int = {
+    var s = 0
+    val it = gens.values().iterator()
+    while (it.hasNext) s += it.next().size
+    s
   }
-  def size(): Int = map.size() + layerMap.size()
   val Hits = new java.util.concurrent.atomic.LongAdder()
   val Misses = new java.util.concurrent.atomic.LongAdder()
 }

@@ -535,10 +535,7 @@ object MatcherKernel {
     * group — the same line identity recomputed it hundreds of times
     * (profiled as the single hottest kernel frame). Bounded: one slot per
     * distinct (graph, cfg, line). */
-  private val LineExtraCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Long, String), Array[Long]]()
   private val LineExtraMax = 4096
-  def clearLineExtraCache(): Unit = LineExtraCache.clear()
 
   /** per-cluster routing knobs: turn-penalty oracle with line-similarity
     * cost shaping (G2/U6, Weights.cpp:65-155 name/from/to factor split),
@@ -604,12 +601,17 @@ object MatcherKernel {
     val unmatchedExtra10: Array[Long] =
       if (!shapeLines) null
       else {
+        // generational (HopCache.gen): the arrays die with their build
+        // epoch instead of bricking a shared global cache on a long-lived
+        // executor; still token-keyed inside the generation because the
+        // array indexes THIS bin/merged graph's dense edges
+        val cache = HopCache.gen(g.epoch).lineExtra
         val cacheKey = (g.token, cfg.fingerprint, attrsKey)
-        val cached = LineExtraCache.get(cacheKey)
+        val cached = cache.get(cacheKey)
         if (cached != null) cached
         else {
           val v = buildExtra()
-          if (LineExtraCache.size() < LineExtraMax) LineExtraCache.putIfAbsent(cacheKey, v)
+          if (cache.size() < LineExtraMax) cache.putIfAbsent(cacheKey, v)
           v
         }
       }

@@ -181,7 +181,7 @@ object Viterbi {
               // first.
               val key = HopCache.Key(p.cacheCtx, fc.dirEdge,
                 math.round(fc.progr * 10000).toInt, cutoff, tHash)
-              val hv = HopCache.getOrCompute(key, targets, () => {
+              val hv = HopCache.getOrCompute(g.epoch, key, targets, () => {
                 val cws = WorkspacePool.get(2 * g.numEdges)
                 Dijkstra.oneToMany(g, cws, fc.dirEdge, init, targets,
                   cutoff, p.turnPen10, heur)
@@ -354,7 +354,7 @@ object Viterbi {
         }
         val seedDirs = java.util.Arrays.copyOf(seedDir, nSeeds)
         val key = HopCache.LayerKey(p.cacheCtx, HopCache.srcsHash(srcs), cutoff, tHash)
-        val lv = HopCache.layerGetOrCompute(key, srcs, targets, () => {
+        val lv = HopCache.layerGetOrCompute(g.epoch, key, srcs, targets, () => {
           val cws = WorkspacePool.get(2 * g.numEdges)
           val fCut =
             if (cutoff >= Inf / 2 - maxRel) Inf / 2 else maxRel + cutoff

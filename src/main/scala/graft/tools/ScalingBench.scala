@@ -92,15 +92,35 @@ object ScalingBench {
     * attributed to a stage). */
   case class JobSample(phases: Map[String, Double], trips: Long,
                        gcMs: Long, groups: Long,
-                       metrics: Map[String, graft.Bench.PhaseM]) {
+                       metrics: Map[String, graft.Bench.PhaseM],
+                       hcMiss: Long = 0, hcHit: Long = 0) {
     def stage: Double =
       phases("cands_join") + phases("viterbi_match") + phases("tile_overlay")
+  }
+
+  /** run a closure once on every executor JVM (oversubscribed tiny job;
+    * in local mode the single "driver" executor). Used to clear and read
+    * the executor-resident memo caches, which driver-side calls cannot
+    * reach in cluster mode. */
+  def onExecutors[T: scala.reflect.ClassTag](spark: SparkSession)(f: () => T): Seq[(String, T)] = {
+    val n = math.max(64, spark.sparkContext.defaultParallelism * 8)
+    spark.sparkContext.parallelize(1 to n, n).mapPartitions { _ =>
+      Iterator((org.apache.spark.SparkEnv.get.executorId, f()))
+    }.collect().groupBy(_._1).map { case (id, rows) => (id, rows.head._2) }
+      .toSeq.sortBy(_._1)
   }
 
   /** One measured pipeline run: cold caches, warm JIT. */
   def jobStage(spark: SparkSession, rows: Int, cols: Int, tpr: Int): JobSample = {
     spark.catalog.clearCache()
     graft.router.HopCache.clear()
+    // cluster mode: the memo caches live in the EXECUTOR JVMs — a
+    // driver-side clear() leaves the measured run re-using (or, pre-epoch
+    // generations, capacity-starved by) the warm-up's entries. Measured
+    // before the executor clear landed: the measured rep ran 66% SLOWER
+    // than its own warm-up at 1 executor (dead warm-up entries had
+    // exhausted the no-eviction capacity).
+    if (clusterMode) onExecutors(spark)(() => { graft.router.HopCache.clear(); 0 })
     System.gc()
     val gc0 = gcMillis()
     val g0 = graft.router.MatcherKernel.KernelGroups.sum()
@@ -111,17 +131,26 @@ object ScalingBench {
     val groups = graft.router.MatcherKernel.KernelGroups.sum() - g0
     val kWall = (graft.router.MatcherKernel.KernelNanos.sum() - k0) / 1e9
     val kCpu = (graft.router.MatcherKernel.KernelCpuNanos.sum() - kc0) / 1e9
+    // per-executor memo counters (counters were reset by the clears
+    // above, so these are this run's): total misses across executors is
+    // the DUPLICATED-memo evidence — the same ctx entries recomputed once
+    // per JVM that touches them. A real cluster pays this CPU on its own
+    // cores; on one box it is the measured anti-scaling term.
+    val hc = onExecutors(spark)(() =>
+      (graft.router.HopCache.Misses.sum(), graft.router.HopCache.Hits.sum()))
+    val hcMiss = hc.map(_._2._1).sum; val hcHit = hc.map(_._2._2).sum
     val cores = spark.sparkContext.defaultParallelism
     println(st.phases.map { case (k, v) => f"$k=$v%.2f" }
       .mkString(s"[phases cores=$cores] ", " ", "") +
-      f" gc_ms=$gcMs groups=$groups kernel_wall=$kWall%.1f kernel_cpu=$kCpu%.1f")
+      f" gc_ms=$gcMs groups=$groups kernel_wall=$kWall%.1f kernel_cpu=$kCpu%.1f" +
+      f" hc_miss=$hcMiss hc_hit=$hcHit execs=${hc.length}")
     // attribution: executor task-time vs wall — a phase whose wall greatly
     // exceeds taskMs/cores is driver/scheduling-bound, not executor-bound
     println(st.phases.map { case (k, wall) =>
       val m = st.metrics.getOrElse(k, graft.Bench.PhaseM(0, 0, 0))
       f"$k=${m.taskMs / 1000.0}%.1f/${m.gcMs / 1000.0}%.1f/${m.nTasks}/${m.maxTaskMs / 1000.0}%.1f"
     }.mkString(s"[taskSec/gcSec/nTasks/maxTask cores=$cores] ", " ", ""))
-    JobSample(st.phases.toMap, st.rows, gcMs, groups, st.metrics)
+    JobSample(st.phases.toMap, st.rows, gcMs, groups, st.metrics, hcMiss, hcHit)
   }
 
   /** Kernel-only scaling: the same distinct-sequence solves through fixed
@@ -335,7 +364,14 @@ object ScalingBench {
     }.mkString("\n")
     val gcLine = f"Driver GC ms (best-stage rep): N-level=${bestN.gcMs}, " +
       f"4N-level=${best4N.gcMs}; solver groups(tasks): " +
-      f"${bestN.groups} (vs ${4 * n} cores at the 4N level)"
+      f"${bestN.groups} (vs ${4 * n} cores at the 4N level)\n\n" +
+      f"Memo duplication across executor JVMs (best-stage rep): hop-memo " +
+      f"misses N=${bestN.hcMiss} / 4N=${best4N.hcMiss} " +
+      f"(ratio ${if (bestN.hcMiss > 0) f"${best4N.hcMiss.toDouble / bestN.hcMiss}%.2f" else "n/a"}), " +
+      f"hits N=${bestN.hcHit} / 4N=${best4N.hcHit}. Each executor JVM " +
+      f"recomputes the memo entries its tasks touch; the miss ratio is the " +
+      f"duplicated-CPU factor that executor scale-out pays for memoized " +
+      f"work (a real cluster pays it on its own added cores)."
 
     // ---- kernel level (in-process, no Spark scheduling) ----
     val (kN, k4N, nSolves, cpuN, cpu4N) = kernelScaling(n, reps)
