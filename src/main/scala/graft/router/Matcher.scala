@@ -346,10 +346,32 @@ object Matcher {
       coalesce($"line_name", lit("")).as("c_line"),
       coalesce(element_at($"stops", 1).getField("stop_id"), lit("")).as("c_stop"))
     val clCounts = slimKeys.groupBy($"c_line", $"c_stop").agg(count(lit(1)).as("n_cl"))
-    val saltedKeys = slimKeys.join(broadcast(clCounts), Seq("c_line", "c_stop"))
+    // PARALLELISM-AWARE GRAIN: splitting a cluster is not free — each
+    // salted sub-group that lands on a different executor JVM recomputes
+    // that cluster's hop memo (measured: 2.97x duplicated memo computes at
+    // 4 executors with the fixed 64-seq grain, the dominant anti-scaling
+    // term). So the grain is sized to the job's actual parallelism: split
+    // only until groups ~ 4x cores, never finer than MaxSeqsPerGroup.
+    // Small cluster -> big grain -> salt 1 (zero duplication); a
+    // 1000-executor run gets a fine grain because the cores exist to pay
+    // the bounded duplication. Bigger groups also share strictly more trie
+    // prefix work. Results are grain-invariant (cluster attrs are computed
+    // on the unsalted key; each distinct sequence solves identically in
+    // any group).
+    // clCounts is one row per cluster and broadcast-joined below anyway;
+    // collecting it once yields the total without recomputing the dedup
+    // subtree for a second action
+    val clRows = clCounts.collect()
+    val totalSeqs = clRows.iterator.map(_.getLong(2)).sum
+    val clLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(clRows.toIndexedSeq, 1), clCounts.schema)
+    val targetGroups = math.max(1L, 4L * spark.sparkContext.defaultParallelism)
+    val grain = math.max(MaxSeqsPerGroup.toLong,
+      (totalSeqs + targetGroups - 1) / targetGroups).toDouble
+    val saltedKeys = slimKeys.join(broadcast(clLocal), Seq("c_line", "c_stop"))
       .withColumn("salt",
         pmod(xxhash64($"seq_key"),
-          greatest(lit(1L), ceil($"n_cl" / lit(MaxSeqsPerGroup.toDouble)).cast("long")))
+          greatest(lit(1L), ceil($"n_cl" / lit(grain)).cast("long")))
           .cast("int"))
       .select($"seq_key", $"c_line", $"c_stop", $"salt")
     // the cluster's lineTo set is computed on the UNSALTED key and

@@ -120,7 +120,14 @@ object ScalingBench {
     // before the executor clear landed: the measured rep ran 66% SLOWER
     // than its own warm-up at 1 executor (dead warm-up entries had
     // exhausted the no-eviction capacity).
-    if (clusterMode) onExecutors(spark)(() => { graft.router.HopCache.clear(); 0 })
+    onExecutors(spark)(() => {
+      graft.router.HopCache.clear()
+      graft.router.Dijkstra.Iters.reset()
+      graft.router.MatcherKernel.KernelNanos.reset()
+      graft.router.MatcherKernel.KernelCpuNanos.reset()
+      graft.router.MatcherKernel.KernelGroups.reset()
+      0
+    })
     System.gc()
     val gc0 = gcMillis()
     val g0 = graft.router.MatcherKernel.KernelGroups.sum()
@@ -128,22 +135,33 @@ object ScalingBench {
     val kc0 = graft.router.MatcherKernel.KernelCpuNanos.sum()
     val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
     val gcMs = gcMillis() - gc0
-    val groups = graft.router.MatcherKernel.KernelGroups.sum() - g0
-    val kWall = (graft.router.MatcherKernel.KernelNanos.sum() - k0) / 1e9
-    val kCpu = (graft.router.MatcherKernel.KernelCpuNanos.sum() - kc0) / 1e9
-    // per-executor memo counters (counters were reset by the clears
-    // above, so these are this run's): total misses across executors is
-    // the DUPLICATED-memo evidence — the same ctx entries recomputed once
-    // per JVM that touches them. A real cluster pays this CPU on its own
-    // cores; on one box it is the measured anti-scaling term.
-    val hc = onExecutors(spark)(() =>
-      (graft.router.HopCache.Misses.sum(), graft.router.HopCache.Hits.sum()))
+    // per-executor memo/kernel counters (executor-side adders were reset
+    // by the clears above, so these are this run's): total misses across
+    // executors is the DUPLICATED-memo evidence — the same ctx entries
+    // recomputed once per JVM that touches them. A real cluster pays this
+    // CPU on its own cores; on one box it is a measured anti-scaling term.
+    val hc = onExecutors(spark)(() => (
+      graft.router.HopCache.Misses.sum(), graft.router.HopCache.Hits.sum(),
+      graft.router.Dijkstra.Iters.sum(),
+      graft.router.MatcherKernel.KernelCpuNanos.sum(),
+      graft.router.MatcherKernel.KernelNanos.sum(),
+      graft.router.MatcherKernel.KernelGroups.sum()))
     val hcMiss = hc.map(_._2._1).sum; val hcHit = hc.map(_._2._2).sum
+    val iters = hc.map(_._2._3).sum
+    val groups =
+      if (clusterMode) hc.map(_._2._6).sum
+      else graft.router.MatcherKernel.KernelGroups.sum() - g0
+    val kWall =
+      if (clusterMode) hc.map(_._2._5).sum / 1e9
+      else (graft.router.MatcherKernel.KernelNanos.sum() - k0) / 1e9
+    val kCpu =
+      if (clusterMode) hc.map(_._2._4).sum / 1e9
+      else (graft.router.MatcherKernel.KernelCpuNanos.sum() - kc0) / 1e9
     val cores = spark.sparkContext.defaultParallelism
     println(st.phases.map { case (k, v) => f"$k=$v%.2f" }
       .mkString(s"[phases cores=$cores] ", " ", "") +
       f" gc_ms=$gcMs groups=$groups kernel_wall=$kWall%.1f kernel_cpu=$kCpu%.1f" +
-      f" hc_miss=$hcMiss hc_hit=$hcHit execs=${hc.length}")
+      f" hc_miss=$hcMiss hc_hit=$hcHit dijkstra_iters=$iters execs=${hc.length}")
     // attribution: executor task-time vs wall — a phase whose wall greatly
     // exceeds taskMs/cores is driver/scheduling-bound, not executor-bound
     println(st.phases.map { case (k, wall) =>
