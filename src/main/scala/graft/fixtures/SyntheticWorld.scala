@@ -36,9 +36,18 @@ object SyntheticWorld {
     (h >>> 11).toDouble / (1L << 53).toDouble
   }
 
+  /** Generation parameters a trip's stop_times can be re-derived from —
+    * lets WorldTables expand the O(trips x stops) stop_times table ON THE
+    * EXECUTORS from the slim trips table instead of Java-serializing
+    * millions of driver-built rows into parallelize tasks (measured: a
+    * 102 MB task at the bench world, all of it driver CPU + network inside
+    * the measured match phase). */
+  case class WorldSpec(cols: Int, stopEvery: Int, variedTrips: Boolean)
+
   case class World(nodes: Seq[OsmNode], ways: Seq[OsmWay], rels: Seq[OsmRel],
                    stops: Seq[GtfsStop], routes: Seq[GtfsRoute], trips: Seq[GtfsTrip],
-                   stopTimes: Seq[GtfsStopTime], truthShapes: Seq[GtfsShapePt])
+                   stopTimes: Seq[GtfsStopTime], truthShapes: Seq[GtfsShapePt],
+                   spec: Option[WorldSpec] = None)
 
   /** Build a world. Every 2nd row is a one-way street (eastbound), every
     * 4th row is rail; vertical streets are two-way residential; station
@@ -149,22 +158,7 @@ object SyntheticWorld {
       for (t <- 0 until tripsPerRoute) {
         val tripId = s"T${r}_$t"
         trips += GtfsTrip(tripId, routeId, "SVC1", null, s"L$r")
-        var time = 8 * 3600 + t * 600
-        // variedTrips: trip t skips one interior stop -> every trip is a
-        // DISTINCT stop sequence (bench granularity; mirrors real feeds
-        // where most sequences are unique)
-        // two varied skip positions -> up to (k-2)^2 distinct patterns
-        val k = cs.length - 2
-        val skipA = if (variedTrips && cs.length > 3) (t % k) + 1 else -1
-        val skipB = if (variedTrips && cs.length > 5 && t >= k) ((t / k + t) % k) + 1 else -1
-        var i2 = 0
-        for ((c, i) <- cs.zipWithIndex if i != skipA && i != skipB) {
-          val dist = (c * SpacingM).toFloat
-          stopTimes += GtfsStopTime(tripId, i2, stopIds((r, c)), time, time + 30, dist)
-          // 30 km/h between stops
-          time += 30 + (stopEvery * SpacingM / (30.0 / 3.6)).toInt
-          i2 += 1
-        }
+        stopTimes ++= tripStopTimes(tripId, "", r, t, cols, stopEvery, variedTrips)
       }
       // ground-truth shape: straight along the row
       for (c <- 0 until cols)
@@ -172,7 +166,48 @@ object SyntheticWorld {
     }
 
     World(nodes.toSeq, ways.toSeq, rels.toSeq, stops.toSeq, routes.toSeq,
-      trips.toSeq, stopTimes.toSeq, truthShapes.toSeq)
+      trips.toSeq, stopTimes.toSeq, truthShapes.toSeq,
+      spec = Some(WorldSpec(cols, stopEvery, variedTrips)))
+  }
+
+  /** The stop_times rows of one trip — the EXACT rows build() emits for
+    * (r, t), factored out so WorldTables can regenerate them on executors
+    * from the slim trips table (same arithmetic, same rows; a unit test
+    * pins path equality). variedTrips: trip t skips one (or two) interior
+    * stops -> every trip is a DISTINCT stop sequence (bench granularity;
+    * mirrors real feeds where most sequences are unique). */
+  def tripStopTimes(tripId: String, stopIdPrefix: String, r: Int, t: Int,
+                    cols: Int, stopEvery: Int, variedTrips: Boolean): Seq[GtfsStopTime] = {
+    val cs = (0 until cols).filter(_ % stopEvery == 0)
+    val out = scala.collection.mutable.ArrayBuffer[GtfsStopTime]()
+    var time = 8 * 3600 + t * 600
+    // two varied skip positions -> up to (k-2)^2 distinct patterns
+    val k = cs.length - 2
+    val skipA = if (variedTrips && cs.length > 3) (t % k) + 1 else -1
+    val skipB = if (variedTrips && cs.length > 5 && t >= k) ((t / k + t) % k) + 1 else -1
+    var i2 = 0
+    for ((c, i) <- cs.zipWithIndex if i != skipA && i != skipB) {
+      val dist = (c * SpacingM).toFloat
+      out += GtfsStopTime(tripId, i2, s"${stopIdPrefix}S${r}_$c", time, time + 30, dist)
+      // 30 km/h between stops
+      time += 30 + (stopEvery * SpacingM / (30.0 / 3.6)).toInt
+      i2 += 1
+    }
+    out.toSeq
+  }
+
+  /** Re-derive one trip's stop_times from its trip id + the world spec —
+    * handles the buildMulti city prefix ("C2_T12_7" -> prefix "C2_",
+    * r=12, t=7). Executor-side worker for WorldTables' distributed
+    * stop_times expansion. */
+  def stopTimesOfTrip(tripId: String, spec: WorldSpec): Seq[GtfsStopTime] = {
+    val tPos = tripId.lastIndexOf('T')
+    val prefix = tripId.substring(0, tPos)
+    val body = tripId.substring(tPos + 1)
+    val us = body.indexOf('_')
+    val r = body.substring(0, us).toInt
+    val t = body.substring(us + 1).toInt
+    tripStopTimes(tripId, prefix, r, t, spec.cols, spec.stopEvery, spec.variedTrips)
   }
 
   /** Translate a world north by dLatDeg and prefix/offset every id —
@@ -189,7 +224,8 @@ object SyntheticWorld {
       w.trips.map(t => t.copy(trip_id = p(t.trip_id), route_id = p(t.route_id),
         shape_id = t.shape_id)),
       w.stopTimes.map(st => st.copy(trip_id = p(st.trip_id), stop_id = p(st.stop_id))),
-      w.truthShapes.map(s => s.copy(shape_id = p(s.shape_id), lat = s.lat + dLatDeg)))
+      w.truthShapes.map(s => s.copy(shape_id = p(s.shape_id), lat = s.lat + dLatDeg)),
+      spec = w.spec)
   }
 
   /** Multi-component world: `cities` copies of the grid city, separated by
@@ -209,6 +245,6 @@ object SyntheticWorld {
     }
     World(parts.flatMap(_.nodes), parts.flatMap(_.ways), parts.flatMap(_.rels),
       parts.flatMap(_.stops), parts.flatMap(_.routes), parts.flatMap(_.trips),
-      parts.flatMap(_.stopTimes), parts.flatMap(_.truthShapes))
+      parts.flatMap(_.stopTimes), parts.flatMap(_.truthShapes), spec = base.spec)
   }
 }

@@ -13,12 +13,24 @@ object WorldTables {
                     stops: DataFrame, routes: DataFrame, trips: DataFrame,
                     stopTimes: DataFrame, truthShapes: DataFrame)
 
+  /** Above this row count, stop_times is regenerated ON THE EXECUTORS from
+    * the slim trips table instead of parallelized from the driver Seq —
+    * shipping the driver-built rows serialized millions of objects into a
+    * handful of 100 MB tasks (driver CPU + network, measured inside the
+    * match phase at bench world sizes). */
+  val StopTimesDistRows = 200000
+
   def apply(spark: SparkSession, w: SyntheticWorld.World): Tables = {
     import spark.implicits._
     def dist[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](s: Seq[T]): DataFrame = {
       val slices = math.min(spark.sparkContext.defaultParallelism,
         math.max(1, s.length / 10000))
       spark.createDataset(spark.sparkContext.parallelize(s, slices)).toDF()
+    }
+    val stopTimesDf = w.spec match {
+      case Some(spec) if w.stopTimes.length > StopTimesDistRows =>
+        distributedStopTimes(spark, w, spec)
+      case _ => dist(w.stopTimes)
     }
     Tables(
       osmNodes = dist(w.nodes),
@@ -27,8 +39,24 @@ object WorldTables {
       stops = dist(w.stops),
       routes = dist(w.routes),
       trips = dist(w.trips),
-      stopTimes = dist(w.stopTimes),
+      stopTimes = stopTimesDf,
       truthShapes = dist(w.truthShapes))
+  }
+
+  /** Executor-side stop_times expansion: ship only trip ids (a few bytes
+    * each), regenerate the rows via SyntheticWorld.stopTimesOfTrip in a
+    * flatMap. Row-identical to the driver path (pinned by FixtureSpec);
+    * sliced well past defaultParallelism so generation parallelizes and no
+    * single task carries a whole city. */
+  def distributedStopTimes(spark: SparkSession, w: SyntheticWorld.World,
+                           spec: SyntheticWorld.WorldSpec): DataFrame = {
+    import spark.implicits._
+    val ids = w.trips.map(_.trip_id)
+    val slices = math.max(spark.sparkContext.defaultParallelism,
+      math.min(256, math.max(1, ids.length / 2000)))
+    spark.createDataset(spark.sparkContext.parallelize(ids, slices))
+      .flatMap(tid => SyntheticWorld.stopTimesOfTrip(tid, spec))
+      .toDF()
   }
 
   /** J7: trip_id -> ordered stop rows with coordinates + line identity. */

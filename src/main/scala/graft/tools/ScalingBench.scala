@@ -63,6 +63,11 @@ object ScalingBench {
       val workers = math.max(1, cores / CoresPerExecutor)
       val memMB = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "6144").toInt
       b.master(s"local-cluster[$workers,$CoresPerExecutor,$memMB]")
+        // the memMB in the master string sizes the WORKER's allocatable
+        // memory only — without spark.executor.memory the executor JVMs
+        // launch at the 1g default (seen as -Xmx1024M in the ExecutorRunner
+        // launch command) and pay ~13% of task time in GC at bench sizes
+        .config("spark.executor.memory", s"${memMB}m")
         .config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
         // executor JVMs: parallel collector without adaptive oscillation,

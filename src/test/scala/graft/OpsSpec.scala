@@ -99,3 +99,33 @@ class PlansSpec extends AnyFunSuite {
     assert(of.contains("highway=residential"))
   }
 }
+
+/** The distributed stop_times expansion must be row-identical to the
+  * driver-built Seq — both for a single world and for the multi-city
+  * (prefixed trip id) world. */
+class FixtureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def assertSame(w: graft.fixtures.SyntheticWorld.World): Unit = {
+    val distDf = graft.fixtures.WorldTables.distributedStopTimes(
+      spark, w, w.spec.get)
+    val got = distDf.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getFloat(5))).sortBy(x => (x._1, x._2))
+    val want = w.stopTimes
+      .map(st => (st.trip_id, st.seq, st.stop_id, st.arr_s, st.dep_s, st.shape_dist))
+      .sortBy(x => (x._1, x._2))
+    assert(got.length == want.length)
+    assert(got.sameElements(want))
+  }
+
+  test("distributed stop_times == driver stop_times (single city, varied)") {
+    assertSame(graft.fixtures.SyntheticWorld.build(8, 18, tripsPerRoute = 7,
+      variedTrips = true))
+  }
+
+  test("distributed stop_times == driver stop_times (multi-city prefix ids)") {
+    assertSame(graft.fixtures.SyntheticWorld.buildMulti(3, 8, 12,
+      tripsPerRoute = 3, variedTrips = true))
+  }
+}
