@@ -54,7 +54,9 @@ object Bench {
     * task count, longest single task ms) — wall >> taskMs/cores means the
     * phase is driver- or scheduling-bound; maxTaskMs close to the phase
     * wall means one straggler task gates the phase (skew). */
-  case class PhaseM(taskMs: Long, gcMs: Long, nTasks: Long, maxTaskMs: Long = 0)
+  case class PhaseM(taskMs: Long, gcMs: Long, nTasks: Long, maxTaskMs: Long = 0,
+                    fetchMs: Long = 0, shufWriteMs: Long = 0,
+                    serMs: Long = 0, deserMs: Long = 0)
   case class PipelineStats(rows: Long, tiles: Long, phases: Seq[(String, Double)],
                            metrics: Map[String, PhaseM] = Map.empty)
 
@@ -65,6 +67,13 @@ object Bench {
     val taskMs = new java.util.concurrent.atomic.LongAdder
     val gcMs = new java.util.concurrent.atomic.LongAdder
     val nTasks = new java.util.concurrent.atomic.LongAdder
+    // shuffle/serialization attribution: fetch wait + shuffle write time
+    // are INSIDE executorRunTime, so a phase whose taskMs balloons with
+    // executor count but whose kernel CPU is flat is localized here
+    val fetchMs = new java.util.concurrent.atomic.LongAdder
+    val shufWriteMs = new java.util.concurrent.atomic.LongAdder
+    val serMs = new java.util.concurrent.atomic.LongAdder
+    val deserMs = new java.util.concurrent.atomic.LongAdder
     /** longest single task since the last snapWindowMax() — straggler/skew
       * evidence per phase */
     private val maxMs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -76,13 +85,18 @@ object Bench {
       val m = e.taskMetrics
       if (m != null) {
         taskMs.add(m.executorRunTime); gcMs.add(m.jvmGCTime); nTasks.increment()
+        fetchMs.add(m.shuffleReadMetrics.fetchWaitTime)
+        shufWriteMs.add(m.shuffleWriteMetrics.writeTime / 1000000L) // ns -> ms
+        serMs.add(m.resultSerializationTime)
+        deserMs.add(m.executorDeserializeTime)
         maxMs.getAndAccumulate(m.executorRunTime, math.max)
         val nm = stageName.getOrDefault(e.stageId, s"stage-${e.stageId}")
         stageMs.computeIfAbsent(nm, _ => new java.util.concurrent.atomic.LongAdder)
           .add(m.executorRunTime)
       }
     }
-    def snap(): (Long, Long, Long) = (taskMs.sum(), gcMs.sum(), nTasks.sum())
+    def snap(): Array[Long] = Array(taskMs.sum(), gcMs.sum(), nTasks.sum(),
+      fetchMs.sum(), shufWriteMs.sum(), serMs.sum(), deserMs.sum())
     /** max task ms since last call (phase-window scoped), then reset */
     def snapWindowMax(): Long = maxMs.getAndSet(0)
     /** top-k stages by task ms since the given snapshot (approximate:
@@ -92,6 +106,25 @@ object Bench {
       stageMs.asScala.toSeq.map { case (n, a) => (n, a.sum()) }
         .sortBy(-_._2).take(k)
     }
+  }
+
+  /** Host CPU-steal meter (/proc/stat): this sandbox is a microVM guest
+    * with bursty multi-minute steal episodes (measured up to ~18% of all
+    * cores) that inflate executor wall AND task times. Benchmarks sample
+    * it around every measured run so contaminated reps are identified
+    * objectively instead of by surprise. */
+  object StealMeter {
+    /** cumulative (stealTicks, totalTicks) since boot */
+    def sample(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Exception => (0L, 0L) }
+    /** steal percentage of all-core time between two samples */
+    def pct(a: (Long, Long), b: (Long, Long)): Double =
+      if (b._2 <= a._2) 0.0 else 100.0 * (b._1 - a._1) / (b._2 - a._2)
   }
 
   def timed[T](f: => T): (T, Double) = {
@@ -114,11 +147,12 @@ object Bench {
       // honest without reaching into the private listener bus
       Thread.sleep(60)
       val cur = listener.snap()
-      metrics(name) = PhaseM(cur._1 - last._1, cur._2 - last._2, cur._3 - last._3,
-        listener.snapWindowMax())
+      metrics(name) = PhaseM(cur(0) - last(0), cur(1) - last(1), cur(2) - last(2),
+        listener.snapWindowMax(),
+        cur(3) - last(3), cur(4) - last(4), cur(5) - last(5), cur(6) - last(6))
       last = cur
     }
-    val world = SyntheticWorld.build(rows, cols, tripsPerRoute = tripsPerRoute,
+    val world = SyntheticWorld.buildCached(rows, cols, tripsPerRoute = tripsPerRoute,
       variedTrips = true)
     val t = WorldTables(spark, world)
     val cfg = OsmConfig.bus
@@ -200,7 +234,7 @@ object Bench {
       // the diamond choke points cut the r2-era 45M-char expansions to
       // <~120k); the cap is a backstop against regressions, set above the
       // legitimate maximum so a default run logs zero truncation warnings
-      .config("spark.sql.maxPlanStringLength", "262144")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.local.dir", benchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,7 +15,7 @@ object Verify {
       // bound AQE plan-description stringification: with deep lineage,
       // onUpdatePlan -> explainString is quadratic and can dominate the
       // driver (minutes of CPU inside StringConcat at toy data sizes)
-      .config("spark.sql.maxPlanStringLength", "262144")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -49,6 +49,19 @@ object SyntheticWorld {
                    stopTimes: Seq[GtfsStopTime], truthShapes: Seq[GtfsShapePt],
                    spec: Option[WorldSpec] = None)
 
+  /** Worlds are deterministic pure functions of their parameters; bench
+    * harnesses build the same world for every rep and session of a run.
+    * Rebuilding a tpr=4500 world allocates ~10^7 driver objects — enough
+    * repeated old-gen churn that a 48g ParallelGC driver froze past the
+    * executor heartbeat timeout mid-bench. Cache by parameters. */
+  private val worldCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Int, Int, Boolean), World]
+
+  def buildCached(rows: Int, cols: Int, seed: Long = 42L, stopEvery: Int = 3,
+                  tripsPerRoute: Int = 2, variedTrips: Boolean = false): World =
+    worldCache.computeIfAbsent((rows, cols, seed, stopEvery, tripsPerRoute, variedTrips),
+      _ => build(rows, cols, seed, stopEvery, tripsPerRoute, variedTrips))
+
   /** Build a world. Every 2nd row is a one-way street (eastbound), every
     * 4th row is rail; vertical streets are two-way residential; station
     * nodes every `stopEvery` columns on bus rows. Trips run along rows. */

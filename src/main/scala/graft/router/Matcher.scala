@@ -182,17 +182,24 @@ object Matcher {
   def matchTripsFull(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
                      graph: CompactGraph, cfg: OsmConfig): MatchResult = {
     import spark.implicits._
-    // key once, reuse for both the distinct-solve and the join-back.
-    // localCheckpoint (not cache): the keyed table is referenced by the
-    // distinct-solve chain AND three join-backs — a cache leaves the full
+    // Two slim materializations instead of one heavy one: the old flow
+    // checkpointed the per-TRIP keyed table (every trip's stops array =
+    // ~15x the distinct payload at high trips-per-route) and then shuffled
+    // ALL of it again through dropDuplicates. Now the per-trip table only
+    // ever exists as (trip_id, seq_key) — the stops arrays are re-built
+    // for ONE representative trip per distinct sequence (1/dup-factor of
+    // the rows), at the cost of a second pass over the tripStops source
+    // (scans are cheap and pruned; wide shuffles are not).
+    // localCheckpoint (not cache) on both: a cache leaves the full
     // upstream lineage in every consumer's plan string (AQE re-renders it
     // per update), a checkpoint truncates it.
-    val keyed = tripStopsWithKey(tripStops).localCheckpoint()
-    // localCheckpoint (not cache): the kernel output feeds shapes, anchors,
+    val (seqKeys, distinctSeqs) = tripSeqTables(tripStops)
+    // localCheckpoint: the kernel output feeds shapes, anchors,
     // hops, the color ops, the eval and the overlay — truncating the
     // logical lineage here keeps every downstream plan shallow (deep
     // lineage made AQE's per-update plan stringification quadratic)
-    val solved = solveKeyedSeqs(spark, keyed, cands, graph, cfg).localCheckpoint()
+    val solved = solveSeqs(spark, distinctSeqs,
+      cands, GraphPartitions.build(spark, graph), cfg).localCheckpoint()
 
     // join back ONCE, LAZILY: the solved table carries the heavy
     // per-sequence payload (points/anchors/hops arrays); joining it
@@ -208,7 +215,6 @@ object Matcher {
     // The W2 cumulative measure is accumulated in the kernel during
     // geometry materialization (same haversine running sum the window
     // computed — without a 10^7-row sort).
-    val seqKeys = keyed.select($"trip_id", $"seq_key").distinct()
     val joined = seqKeys.join(solved, Seq("seq_key"))
     val shapes = joined
       .select($"trip_id".as("shape_id"), explode($"points").as("pt"))
@@ -288,6 +294,35 @@ object Matcher {
       .drop("t0")
   }
 
+  /** The two tables the matcher actually needs, each materialized SLIM:
+    *  - seqKeys(trip_id, seq_key) — the full per-trip table, two string
+    *    columns only (the old flow checkpointed every trip's stops array
+    *    here: ~15x the distinct payload at high trips-per-route, written
+    *    once and shuffled again by dropDuplicates);
+    *  - distinctSeqs(seq_key, line_name, stops, from_name, to_name) — the
+    *    heavy stops arrays, built from ONE representative trip per
+    *    distinct sequence (deterministic min trip_id; dropDuplicates kept
+    *    an arbitrary partition-order row). Trips sharing a key differ only
+    *    by a constant time shift and the kernel is shift-invariant, so any
+    *    representative solves identically.
+    * Costs one extra pass over the tripStops source — scans are pruned
+    * and cheap, wide shuffles are not. */
+  def tripSeqTables(tripStops: DataFrame): (DataFrame, DataFrame) = {
+    val ss = tripStops.sparkSession
+    import ss.implicits._
+    // seq_key depends on the collected stops array, but the projection
+    // drops the array post-agg — it exists only transiently per group,
+    // never in a shuffle file or checkpoint block
+    val seqKeys = tripStopsWithKey(tripStops)
+      .select($"trip_id", $"seq_key").localCheckpoint()
+    val reps = seqKeys.groupBy($"seq_key").agg(min($"trip_id").as("trip_id"))
+    val repRows = tripStops.join(reps.select($"trip_id"), Seq("trip_id"), "left_semi")
+    val distinctSeqs = tripStopsWithKey(repRows)
+      .select($"seq_key", $"line_name", $"stops", $"from_name", $"to_name")
+      .localCheckpoint()
+    (seqKeys, distinctSeqs)
+  }
+
   /** dist = cumulative haversine meters along the (simplified) shape —
     * the W2 measure, accumulated at materialization */
   case class ShapePoint(seq: Int, lat: Double, lng: Double, dist: Double)
@@ -321,10 +356,35 @@ object Matcher {
   def solveKeyedSeqs(spark: SparkSession, keyed: DataFrame, cands: DataFrame,
                      parts: GraphPartitions, cfg: OsmConfig): DataFrame = {
     import spark.implicits._
+    solveSeqs(spark, keyed.dropDuplicates("seq_key")
+      .select($"seq_key", $"line_name", $"stops", $"from_name", $"to_name"),
+      cands, parts, cfg)
+  }
+
+  /** Solve ALREADY-DISTINCT sequences (one row per seq_key). */
+  def solveSeqs(spark: SparkSession, distinctSeqs0: DataFrame, cands: DataFrame,
+                parts: GraphPartitions, cfg: OsmConfig): DataFrame = {
+    import spark.implicits._
     val cfgB = spark.sparkContext.broadcast(cfg)
 
-    val distinctSeqs = keyed.dropDuplicates("seq_key")
-      .select($"seq_key", $"line_name", $"stops", $"from_name", $"to_name")
+    // NORMALIZE to relative times before solving: sequences sharing a
+    // seq_key differ only by a constant shift, but the REPRESENTATIVE
+    // carrying each key holds its own trip's absolute times — and the trie
+    // averages times ACROSS member sequences, so at a trie fork the
+    // parent/child member sets differ and avgTime differences absorb the
+    // representatives' shift spread (hours at high trips-per-route). A
+    // poisoned `sched` inflates the hop cutoff by that spread and a layer
+    // relax degenerates into whole-graph searches (observed: a solver task
+    // pinned for 15+ minutes on work that takes seconds). Relative times
+    // are what the cluster key hashes; solving on them makes the kernel
+    // shift-exact and the layer memo representative-independent.
+    val distinctSeqs = distinctSeqs0
+      .withColumn("t0", $"stops"(0).getField("dep_s"))
+      .withColumn("stops", expr(
+        "transform(stops, x -> struct(x.seq as seq, x.stop_id as stop_id, " +
+          "cast(x.arr_s - t0 as int) as arr_s, cast(x.dep_s - t0 as int) as dep_s, " +
+          "x.lat as lat, x.lng as lng))"))
+      .drop("t0")
 
     // Cluster = (line identity, first stop): the reference's RoutingAttrs
     // clustering (A2) refined by the trie-forest split (one trie per first
@@ -365,7 +425,8 @@ object Matcher {
     val totalSeqs = clRows.iterator.map(_.getLong(2)).sum
     val clLocal = spark.createDataFrame(
       spark.sparkContext.parallelize(clRows.toIndexedSeq, 1), clCounts.schema)
-    val targetGroups = math.max(1L, 4L * spark.sparkContext.defaultParallelism)
+    val targetGroups = TargetGroupsOverride.getOrElse(
+      math.max(1L, 4L * spark.sparkContext.defaultParallelism))
     val grain = math.max(MaxSeqsPerGroup.toLong,
       (totalSeqs + targetGroups - 1) / targetGroups).toDouble
     val saltedKeys = slimKeys.join(broadcast(clLocal), Seq("c_line", "c_stop"))
@@ -445,6 +506,17 @@ object Matcher {
     * scaling bench can probe the grain/straggler tradeoff. */
   val MaxSeqsPerGroup: Int =
     sys.env.get("SPARK_GRAFT_MAX_SEQS").map(_.toInt).getOrElse(64)
+
+  /** Pin the salt-grain target group count regardless of the session's
+    * parallelism. The adaptive default (4x cores) tunes the grain to the
+    * job — but a SCALING comparison must hold the algorithmic
+    * configuration constant across its two levels, or the small level
+    * quietly benefits from coarser groups (more trie prefix sharing,
+    * fewer cogroup candidate copies) and the measured ratio mixes
+    * plan change with resource change. ScalingBench sets this to the
+    * large level's natural value for both. */
+  @volatile var TargetGroupsOverride: Option[Long] =
+    sys.env.get("SPARK_GRAFT_TARGET_GROUPS").map(_.toLong)
 }
 
 /** The per-sequence solve: candidate expansion to directed edges, Viterbi,

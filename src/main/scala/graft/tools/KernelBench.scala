@@ -16,7 +16,7 @@ object KernelBench {
       // bound AQE plan-description stringification: with deep lineage,
       // onUpdatePlan -> explainString is quadratic and can dominate the
       // driver (minutes of CPU inside StringConcat at toy data sizes)
-      .config("spark.sql.maxPlanStringLength", "262144").getOrCreate()
+      .config("spark.sql.maxPlanStringLength", "1048576").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val cfg = OsmConfig.bus

@@ -31,7 +31,7 @@ object PartitionBench {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.maxPlanStringLength", "262144")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.local.dir", graft.Bench.benchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,11 +14,17 @@ object PhaseAttrib {
     graft.Bench.runPipeline(spark, 8, 12, 2) // JIT warm
     spark.catalog.clearCache()
     graft.router.HopCache.clear()
+    ScalingBench.onExecutors(spark)(() => { graft.router.HopCache.clear(); 0 })
+    val steal0 = graft.Bench.StealMeter.sample()
     val st = graft.Bench.runPipeline(spark, rows, cols, tpr)
+    val stealPct = graft.Bench.StealMeter.pct(steal0, graft.Bench.StealMeter.sample())
     println(st.phases.map { case (k, v) => f"$k=$v%.2f" }
-      .mkString(s"[phases cores=$cores] ", " ", ""))
+      .mkString(s"[phases cores=$cores] ", " ", "") + f" steal_pct=$stealPct%.1f")
     st.metrics.toSeq.sortBy(_._1).foreach { case (k, m) =>
-      println(f"[attrib] $k: task=${m.taskMs / 1000.0}%.1f s gc=${m.gcMs / 1000.0}%.1f s n=${m.nTasks}")
+      println(f"[attrib] $k: task=${m.taskMs / 1000.0}%.1f s gc=${m.gcMs / 1000.0}%.1f s " +
+        f"fetchWait=${m.fetchMs / 1000.0}%.1f s shufWrite=${m.shufWriteMs / 1000.0}%.1f s " +
+        f"resultSer=${m.serMs / 1000.0}%.1f s taskDeser=${m.deserMs / 1000.0}%.1f s " +
+        f"n=${m.nTasks} maxTask=${m.maxTaskMs / 1000.0}%.1f s")
     }
     println(f"[kernel] wall=${graft.router.MatcherKernel.KernelNanos.sum() / 1e9}%.1f s " +
       f"cpu=${graft.router.MatcherKernel.KernelCpuNanos.sum() / 1e9}%.1f s " +

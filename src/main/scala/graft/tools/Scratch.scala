@@ -20,7 +20,7 @@ object Scratch {
       // bound AQE plan-description stringification: with deep lineage,
       // onUpdatePlan -> explainString is quadratic and can dominate the
       // driver (minutes of CPU inside StringConcat at toy data sizes)
-      .config("spark.sql.maxPlanStringLength", "262144").getOrCreate()
+      .config("spark.sql.maxPlanStringLength", "1048576").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(spark)
     import spark.implicits._
