@@ -187,7 +187,7 @@ object Bench {
       val c = Matcher.buildCandsWithStations(spark, t.stops, gt.edges,
         gt.stations, cfg,
         maxAbsLat = Some(math.max(math.abs(bbox.latMin), math.abs(bbox.latMax))))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       c.count(); c
     }
     phases += ("cands_join" -> tCands)

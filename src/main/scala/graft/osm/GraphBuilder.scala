@@ -249,10 +249,10 @@ object GraphBuilder {
     val nodes = pruneTags(osmNodesRaw, merged)
       .filter($"lat" >= bbox.latMin && $"lat" <= bbox.latMax &&
               $"lon" >= bbox.lonMin && $"lon" <= bbox.lonMax)
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val ways = pruneTags(osmWaysRaw, merged)
       .filter(tagMatches($"tags", merged.keepWays))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     cfgs.map { case (name, cfg) =>
       name -> build(spark, nodes, ways, osmRels, bbox, cfg)
     }.toMap
@@ -349,7 +349,7 @@ object GraphBuilder {
     val stationNodeIds = bboxNodes.filter(tagMatches($"tags", cfg.stationRules))
       .select($"id".as("node_id"))
     val breakNodes = turnCycles.unionByName(stationNodeIds).unionByName(blockers)
-    val contracted0 = contractDeg2Chains(edgesCost, breakNodes).localCheckpoint()
+    val contracted0 = contractDeg2Chains(edgesCost, breakNodes).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // ---- G8 fixGaps: 1 m endpoint merge of degree-1 nodes ----
     val contracted = fixGaps(contracted0)
@@ -374,7 +374,7 @@ object GraphBuilder {
         expr("array_min(transform(geom, p -> p.lon))"),
         expr("array_max(transform(geom, p -> p.lat))"),
         expr("array_max(transform(geom, p -> p.lon))"), cfg.cellRes))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // ---- station nodes (F4 station predicate); names via F6 deep attr
     // extraction: own name, else the name of a containing relation (e.g. a

@@ -26,6 +26,17 @@ import graft.osm.OsmConfig
   */
 object Matcher {
 
+  /** Eager local checkpoint with SERIALIZED storage. The default level
+    * keeps block rows as deserialized JVM objects, whose true footprint
+    * Spark's SizeEstimator undercounts severely for nested-array payloads
+    * (shape points, hop edge lists) — a heavy checkpoint can fill an
+    * executor's whole old generation while the memory manager believes it
+    * is under budget (measured: a permanent full-GC spiral, 3-4 full
+    * GCs/s, solver threads at 10% of a core). Serialized blocks are one
+    * byte[] per block: exactly accounted, GC-opaque, spillable. */
+  def checkpointSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Candidate generation with station-aware penalties (J4 + J6 + U1-U5):
     * buildCands plus, per stop, a bonus for edges that touch an OSM station
     * node whose (normalized) name is similar to the stop's — the
@@ -198,8 +209,8 @@ object Matcher {
     // hops, the color ops, the eval and the overlay — truncating the
     // logical lineage here keeps every downstream plan shallow (deep
     // lineage made AQE's per-update plan stringification quadratic)
-    val solved = solveSeqs(spark, distinctSeqs,
-      cands, GraphPartitions.build(spark, graph), cfg).localCheckpoint()
+    val solved = checkpointSer(solveSeqs(spark, distinctSeqs,
+      cands, GraphPartitions.build(spark, graph), cfg))
 
     // join back ONCE, LAZILY: the solved table carries the heavy
     // per-sequence payload (points/anchors/hops arrays); joining it
@@ -313,13 +324,12 @@ object Matcher {
     // seq_key depends on the collected stops array, but the projection
     // drops the array post-agg — it exists only transiently per group,
     // never in a shuffle file or checkpoint block
-    val seqKeys = tripStopsWithKey(tripStops)
-      .select($"trip_id", $"seq_key").localCheckpoint()
+    val seqKeys = checkpointSer(tripStopsWithKey(tripStops)
+      .select($"trip_id", $"seq_key"))
     val reps = seqKeys.groupBy($"seq_key").agg(min($"trip_id").as("trip_id"))
     val repRows = tripStops.join(reps.select($"trip_id"), Seq("trip_id"), "left_semi")
-    val distinctSeqs = tripStopsWithKey(repRows)
-      .select($"seq_key", $"line_name", $"stops", $"from_name", $"to_name")
-      .localCheckpoint()
+    val distinctSeqs = checkpointSer(tripStopsWithKey(repRows)
+      .select($"seq_key", $"line_name", $"stops", $"from_name", $"to_name"))
     (seqKeys, distinctSeqs)
   }
 
@@ -754,6 +764,10 @@ object MatcherKernel {
     val t0 = System.nanoTime()
     val c0 = tmx.getCurrentThreadCpuTime
     KernelGroups.increment()
+    val trace = KernelTrace
+    if (trace) System.err.println(
+      s"[kernel-trace] start line=$lineName seqs=${seqs.length} " +
+        s"thread=${Thread.currentThread().getName} t=${System.currentTimeMillis()}")
     try {
       val (single, multi) = seqs.partition(_._2.length < 2)
       val singles = single.map { case (k, stops) =>
@@ -778,11 +792,24 @@ object MatcherKernel {
       }
       singles ++ solved
     } finally {
-      KernelNanos.add(System.nanoTime() - t0)
+      val wallNs = System.nanoTime() - t0
+      KernelNanos.add(wallNs)
       KernelCpuNanos.add(tmx.getCurrentThreadCpuTime - c0)
       KernelSolves.add(seqs.length)
+      // watchdog: a cluster solve that takes minutes on work measured in
+      // seconds is an environment pathology (JIT starvation, GC spiral,
+      // host steal) — name it in the executor log with enough context to
+      // localize instead of hanging silently
+      if (trace || wallNs > 30e9) System.err.println(
+        f"[kernel-trace] done line=$lineName seqs=${seqs.length} " +
+          f"wall=${wallNs / 1e9}%.1f s cpu=${(tmx.getCurrentThreadCpuTime - c0) / 1e9}%.1f s " +
+          f"iters=${Dijkstra.Iters.sum()} thread=${Thread.currentThread().getName}")
     }
   }
+
+  /** per-cluster start/done stderr tracing (executor logs) — set
+    * SPARK_GRAFT_KERNEL_TRACE=1; slow solves (> 30 s wall) always log. */
+  private val KernelTrace: Boolean = sys.env.contains("SPARK_GRAFT_KERNEL_TRACE")
 
   private def solveOneImpl(seqKey: String, lineName: String,
                stops: Array[Matcher.TS],

@@ -73,6 +73,14 @@ object ScalingBench {
       // one slow (screened-out) rep
       .config("spark.executor.heartbeatInterval", "30s")
       .config("spark.network.timeout", "600s")
+      // storage budget must sit BELOW the old generation (2/3 of heap for
+      // ParallelGC's default NewRatio=2): the 0.6 default ~= old-gen size,
+      // so a run whose checkpoint blocks reach budget drives old-gen
+      // occupancy to ~100% and ParallelGC into a full-GC spiral. 0.45
+      // leaves ~1/5 of the old gen for the memo caches + broadcast graph;
+      // overflow blocks spill to (tmpfs) local dirs, like a real
+      // cluster's disks.
+      .config("spark.memory.fraction", "0.45")
       // tmpfs by default, env-gated with disk fallback + wipe-at-start
       // (see Bench.benchLocalDir)
       .config("spark.local.dir", graft.Bench.benchLocalDir())
@@ -97,7 +105,19 @@ object ScalingBench {
         // nursery starved old space below the storage demand and produced
         // a full-GC death spiral (measured: 783 s executor GC in one match
         // phase vs 17 s with the default 1/3 nursery)
+        // With -XX:-UseAdaptiveSizePolicy, ParallelGC freezes generations
+        // at their INITIAL sizes, so both must be pinned explicitly:
+        //  - -Xms == -Xmx, else the executor runs forever in a ~1.5 GB
+        //    old gen regardless of Xmx (jstat -gccapacity: OGC 1.47 GB at
+        //    -Xmx16g, 96% occupancy, a full-GC-per-eden-fill spiral that
+        //    mimicked a hang);
+        //  - a SMALL nursery (heap/16), else committing the heap hands a
+        //    2-core executor a 5.3 GB eden whose young collections take
+        //    ~15 s each with 2 GC threads (jstat: YGCT 104 s / 7 GCs).
+        //    Old gen keeps ~15/16 of the heap: Spark's storage budget and
+        //    the memo caches are old-gen residents.
         .config("spark.executor.extraJavaOptions",
+          s"-Xms${memMB}m -Xmn${math.max(512, memMB / 16)}m " +
           s"-XX:+UseParallelGC -XX:-UseAdaptiveSizePolicy " +
           s"-XX:ActiveProcessorCount=$CoresPerExecutor " +
           s"-XX:ParallelGCThreads=$CoresPerExecutor")
@@ -141,6 +161,15 @@ object ScalingBench {
   /** One measured pipeline run: cold caches, warm JIT. */
   def jobStage(spark: SparkSession, rows: Int, cols: Int, tpr: Int): JobSample = {
     spark.catalog.clearCache()
+    // clearCache() frees SQL-cached plans only — localCheckpoint blocks
+    // live as persistent RDDs until the DRIVER garbage-collects the RDD
+    // references and the ContextCleaner broadcasts removal, which a 48g
+    // rarely-collecting driver never does mid-bench. Left in place, the
+    // warm-up's checkpoint blocks pin executor storage at its budget
+    // (~0.6 x heap ~ the whole old gen) and the measured run's blocks on
+    // top push old-gen occupancy to ~97%: a full-GC-per-allocation death
+    // spiral (jstat: 3-4 full GCs/s, solver threads at 10% of a core).
+    spark.sparkContext.getPersistentRDDs.valuesIterator.foreach(_.unpersist(true))
     graft.router.HopCache.clear()
     // cluster mode: the memo caches live in the EXECUTOR JVMs — a
     // driver-side clear() leaves the measured run re-using (or, pre-epoch
@@ -154,6 +183,11 @@ object ScalingBench {
       graft.router.MatcherKernel.KernelNanos.reset()
       graft.router.MatcherKernel.KernelCpuNanos.reset()
       graft.router.MatcherKernel.KernelGroups.reset()
+      // executor full GC between runs: the prior run's garbage otherwise
+      // rides into the measured run as near-threshold old-gen occupancy
+      // and its collection cost lands inside the measurement (observed:
+      // 277 s of executor GC in a measured phase whose warm-up GC'd 13 s)
+      System.gc()
       0
     })
     System.gc()
@@ -175,7 +209,9 @@ object ScalingBench {
       graft.router.Dijkstra.Iters.sum(),
       graft.router.MatcherKernel.KernelCpuNanos.sum(),
       graft.router.MatcherKernel.KernelNanos.sum(),
-      graft.router.MatcherKernel.KernelGroups.sum()))
+      graft.router.MatcherKernel.KernelGroups.sum(),
+      (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) >> 20))
+    println(s"[exec-heap-mb] " + hc.map { case (id, t) => s"$id=${t._7}" }.mkString(" "))
     val hcMiss = hc.map(_._2._1).sum; val hcHit = hc.map(_._2._2).sum
     val iters = hc.map(_._2._3).sum
     val groups =
