@@ -23,9 +23,14 @@ object Bench {
     * memory), and the directory is wiped at session start — tmpfs blocks
     * from a crashed previous run are pure RAM waste. */
   def benchLocalDir(): String = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
-      else System.getProperty("java.io.tmpdir") + "/graft-spark-local")
+    // a user-supplied dir gets a fixed subdirectory appended so reclaiming
+    // stale siblings below can never touch unrelated contents of an
+    // existing, non-dedicated directory
+    val base = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .map(_ + "/graft-spark-local")
+      .getOrElse(
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir") + "/graft-spark-local")
     // per-JVM subdir named by pid: wiping the SHARED path at session start
     // deleted the live block-manager dirs of any concurrently running
     // bench (measured as a mid-run NoSuchFileException crash). Instead
@@ -43,7 +48,7 @@ object Bench {
         val alive = nm.drop(4).toLongOption
           .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
         if (!alive) rm(d)
-      } else rm(d) // pre-pid-scheme leftovers
+      } // non-pid entries are left alone: base is always a dedicated subdir
     }
     val f = new java.io.File(bf, s"pid-$pid")
     f.mkdirs()

@@ -75,6 +75,12 @@ case class OsmConfig(
       * EQUAL — we implement the documented intent, penalizing the
       * mismatch) */
     platformUnmatchedPenaltySec: Double = 15.0,
+    /** parity switch for the above: when true, reproduce the reference's
+      * LITERAL behavior (ShapeBuilder.cpp:216-219 adds the penalty when
+      * track == platform_code — the opposite of the documented intent) so
+      * output comparisons against upstream remain possible on feeds with
+      * platform codes; default keeps the intent-correct mismatch penalty */
+    emulateReferenceTrackPenalty: Boolean = false,
     /** transition-weight scale: hop cost enters the Viterbi DAG as
       * transitionPenalty * cost (ExpoTransWeight, Weights.cpp:175-181);
       * 1.0 = raw deciseconds */
@@ -118,6 +124,7 @@ case class OsmConfig(
       maxOsmStationDistanceM, maxSnapLevel, maxBlockDistanceM,
       stationBlockerRules.mkString(","),
       platformTagKeys.mkString(","), platformUnmatchedPenaltySec,
+      emulateReferenceTrackPenalty,
       lineFromUnmatchedPenaltyFactor, lineToUnmatchedPenaltyFactor,
       (stationNormRules ++ lineNormRules ++ trackNormRules ++ idNormRules)
         .mkString(",")).mkString("|")

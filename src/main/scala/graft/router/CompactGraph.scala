@@ -55,7 +55,13 @@ class CompactGraph(
 
   /** process-unique instance token (serialized with the broadcast copy) —
     * scopes HopCache entries to this graph so two graphs in one JVM never
-    * cross-serve memoized costs over coinciding dense indices. */
+    * cross-serve memoized costs over coinciding dense indices. The counter
+    * is seeded with a random per-JVM base (low 20 bits zero) so tokens
+    * minted on the DRIVER (and shipped inside a broadcast) can never
+    * collide with tokens minted locally on an executor — with a bare
+    * 1,2,3... counter, a driver-built bin (token 2) and an executor-built
+    * merged graph (local token 2) sharing one executor JVM would
+    * cross-serve dense-edge-indexed memo arrays between different graphs. */
   val token: Long = CompactGraph.TokenCounter.incrementAndGet()
 
   /** top-level build epoch: subset/concat graphs inherit their parent's,
@@ -314,7 +320,15 @@ class CompactGraph(
 }
 
 object CompactGraph {
-  private[router] val TokenCounter = new java.util.concurrent.atomic.AtomicLong()
+  /** seeded with a random non-negative per-JVM base (low 20 bits clear →
+    * ~1M local builds of headroom before spilling into another base's
+    * range; 2^43 possible bases makes a cross-JVM overlap negligible).
+    * Non-negative so `epoch`'s `epochVar >= 0` sentinel stays valid.
+    * Within one JVM tokens stay monotonic, which HopCache's
+    * evict-the-minimum generation retirement relies on; across JVMs
+    * ordering is meaningless but eviction order is only a perf heuristic. */
+  private[router] val TokenCounter = new java.util.concurrent.atomic.AtomicLong(
+    new java.security.SecureRandom().nextLong() & 0x7FFFFFFFFFF00000L)
 
   /** Convenience builder from simple tuples (tests): (from, to, costSec,
     * oneway, wayId). Geometry = straight line between supplied coords.

@@ -82,11 +82,14 @@ object HopCache {
     private[HopCache] val mapCount = new java.util.concurrent.atomic.LongAdder()
     private[HopCache] val layerMap = new ConcurrentHashMap[LayerKey, LayerEntry]()
     private[HopCache] val layerCount = new java.util.concurrent.atomic.LongAdder()
-    /** per-(graph token, cfg fingerprint, attrs) line-surcharge arrays
-      * (Matcher.relaxParams) — token-scoped because the arrays index THIS
-      * bin/merged graph's dense edges */
+    /** per-(graph token, numEdges, cfg fingerprint, attrs) line-surcharge
+      * arrays (Matcher.relaxParams) — token-scoped because the arrays
+      * index THIS bin/merged graph's dense edges; numEdges rides along as
+      * a cheap content guard so even a (theoretical) token collision
+      * between differently-sized graphs can never serve a wrong-length
+      * surcharge array */
     private[router] val lineExtra =
-      new ConcurrentHashMap[(Long, Long, String), Array[Long]]()
+      new ConcurrentHashMap[(Long, Int, Long, String), Array[Long]]()
     /** cross-bin merge memo (GraphPartitions.merged), keyed by the joined
       * bin-token list */
     private[router] val merged = new ConcurrentHashMap[String, CompactGraph]()
@@ -143,7 +146,15 @@ object HopCache {
         created = true; g.mapCount.increment(); new Entry(compute)
       })
     val v =
-      if (created) { Misses.increment(); e.computeAndPublish() }
+      if (created) {
+        Misses.increment()
+        // if compute throws (task kill / OOM) drop the unpublished entry so
+        // a later toucher can re-create it — otherwise it would miss-and-
+        // recompute for the rest of the generation while counting against
+        // MaxEntries
+        try e.computeAndPublish()
+        catch { case t: Throwable => g.map.remove(key, e); g.mapCount.decrement(); throw t }
+      }
       else if (e == null) { Misses.increment(); compute() } // over capacity
       else {
         val p = e.published
@@ -192,7 +203,13 @@ object HopCache {
         created = true; g.layerCount.increment(); new LayerEntry(compute)
       })
     val v =
-      if (created) { Misses.increment(); e.computeAndPublish() }
+      if (created) {
+        Misses.increment()
+        // same dead-entry cleanup as getOrCompute: failed computes must not
+        // pin an unpublishable entry for the generation's lifetime
+        try e.computeAndPublish()
+        catch { case t: Throwable => g.layerMap.remove(key, e); g.layerCount.decrement(); throw t }
+      }
       else if (e == null) { Misses.increment(); compute() } // over capacity
       else {
         val p = e.published

@@ -108,8 +108,12 @@ object Matcher {
       .join(bestStation, Seq("stop_id"), "left_outer")
       .withColumn("pen10",
         when($"st_from".isNotNull || $"st_to".isNotNull,
+          // emulateReferenceTrackPenalty flips the condition to the
+          // reference's literal (inverted) ShapeBuilder.cpp:216-219 test
           $"pen10" + when(least(coalesce($"from_mism", lit(1)),
-            coalesce($"to_mism", lit(1))) === 1, lit(platformPen10)).otherwise(lit(0L)))
+            coalesce($"to_mism", lit(1))) ===
+              (if (cfg.emulateReferenceTrackPenalty) 0 else 1),
+            lit(platformPen10)).otherwise(lit(0L)))
           .otherwise($"pen10" + lit(nonStationPen10)))
       .withColumn("at_from", $"best_node".isNotNull && $"from_id" === $"best_node")
       .withColumn("at_to", $"best_node".isNotNull && $"to_id" === $"best_node")
@@ -710,7 +714,7 @@ object MatcherKernel {
         // executor; still token-keyed inside the generation because the
         // array indexes THIS bin/merged graph's dense edges
         val cache = HopCache.gen(g.epoch).lineExtra
-        val cacheKey = (g.token, cfg.fingerprint, attrsKey)
+        val cacheKey = (g.token, g.numEdges, cfg.fingerprint, attrsKey)
         val cached = cache.get(cacheKey)
         if (cached != null) cached
         else {

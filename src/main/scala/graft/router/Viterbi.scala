@@ -33,6 +33,13 @@ final case class SolveResult(bestCands: Array[Int], hops: Array[HopPath], totalC
   */
 object Viterbi {
   val MaxDoublingSteps = 3
+  /** diagnostic counters (cheap LongAdders, read by tools/Bench only):
+    * where does layer-relax work go — residual per-source fill-ins after a
+    * fast pass, ladder restarts, layers total. */
+  val ResidualTargets = new java.util.concurrent.atomic.LongAdder()
+  val ResidualPasses = new java.util.concurrent.atomic.LongAdder()
+  val LadderPasses = new java.util.concurrent.atomic.LongAdder()
+  val LayersRelaxed = new java.util.concurrent.atomic.LongAdder()
   /** minimum real sources for the hopsFast N->N pass — below this the
     * per-source memoized path wins (finer-grained cross-layer reuse).
     * var: tests force Int.MaxValue to compare both paths exactly. */
@@ -424,7 +431,13 @@ object Viterbi {
           }
           t2 += 1
         }
-        if (residual != null) foundL = slowPass(cutoff, residual) || foundL
+        if (residual != null) {
+          ResidualPasses.increment()
+          var rt = 0; var rn = 0
+          while (rt < residual.length) { if (residual(rt)) rn += 1; rt += 1 }
+          ResidualTargets.add(rn)
+          foundL = slowPass(cutoff, residual) || foundL
+        }
         if (overflowSrc != null)
           foundL = slowPass(cutoff, null, overflowSrc) || foundL
         foundL
@@ -443,7 +456,9 @@ object Viterbi {
       var step = 0
       var found = false
       var done = false
+      LayersRelaxed.increment()
       while (!done) {
+        LadderPasses.increment()
         val f = if (useFast) fastPass(cutoff) else slowPass(cutoff, null)
         found = found || f
         done = found || step == MaxDoublingSteps || cutoff >= Inf / 2

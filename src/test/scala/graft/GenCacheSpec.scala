@@ -62,10 +62,10 @@ class GenCacheSpec extends AnyFunSuite {
   test("line-surcharge arrays are scoped per generation and die with it") {
     HopCache.clear()
     val a = Array(1L, 2L)
-    HopCache.gen(201L).lineExtra.put((1L, 1L, "x"), a)
-    assert(HopCache.gen(201L).lineExtra.get((1L, 1L, "x")) eq a)
+    HopCache.gen(201L).lineExtra.put((1L, 2, 1L, "x"), a)
+    assert(HopCache.gen(201L).lineExtra.get((1L, 2, 1L, "x")) eq a)
     HopCache.gen(202L); HopCache.gen(203L)
-    assert(HopCache.gen(201L).lineExtra.get((1L, 1L, "x")) == null)
+    assert(HopCache.gen(201L).lineExtra.get((1L, 2, 1L, "x")) == null)
     HopCache.clear()
   }
 }
