@@ -38,6 +38,9 @@ object Viterbi {
     * fast pass, ladder restarts, layers total. */
   val ResidualTargets = new java.util.concurrent.atomic.LongAdder()
   val ResidualPasses = new java.util.concurrent.atomic.LongAdder()
+  val ResidualSelf = new java.util.concurrent.atomic.LongAdder()
+  val ResidualCut = new java.util.concurrent.atomic.LongAdder()
+  val ResidualClamp = new java.util.concurrent.atomic.LongAdder()
   val LadderPasses = new java.util.concurrent.atomic.LongAdder()
   val LayersRelaxed = new java.util.concurrent.atomic.LongAdder()
   /** minimum real sources for the hopsFast N->N pass — below this the
@@ -347,6 +350,18 @@ object Viterbi {
             foundL = slowPass(cutoff, null, overflowSrc) || foundL
           return foundL
         }
+        // lattice-cost envelope of the kept seeds, used to prune residual
+        // deferrals exactly (overflow sources are priced by their own
+        // slowPass independently, so they don't enter these bounds)
+        var minSeedCost = Long.MaxValue
+        var maxSeedCost = Long.MinValue
+        var sb = 0
+        while (sb < nSeeds) {
+          val c = costFr(seedFr(sb))
+          if (c < minSeedCost) minSeedCost = c
+          if (c > maxSeedCost) maxSeedCost = c
+          sb += 1
+        }
         val relInits = new Array[Long](nSeeds)
         val srcs = new Array[Long](2 * nSeeds)
         var maxRel = 0L
@@ -394,6 +409,11 @@ object Viterbi {
             if (ti2 < targets.length && lv.costsRel(ti2) < Inf) {
               val winner = lv.winners(ti2)
               if (winner == tc.dirEdge) {
+                // self-won: the target's own seed shadowed every other
+                // source in the N->N search — only the per-source pass can
+                // price the others (the same-edge scalar pre-pass already
+                // priced the self pair)
+                ResidualSelf.increment()
                 if (residual == null) residual = new Array[Boolean](to.length)
                 residual(t2) = true
               } else {
@@ -405,19 +425,42 @@ object Viterbi {
                   val cAbs = lv.costsRel(ti2) + minInit
                   val tgtCost = g.dirCost10(tc.dirEdge)
                   val tail = math.min(tgtCost, math.round((1.0 - tc.progr) * tgtCost))
-                  if (cAbs - costFr(fr) > cutoff || cAbs - tail < costFr(fr)) {
-                    // two divergences from the per-source pass are deferred
-                    // to it instead of being approximated: (1) the shared
-                    // fCut (maxRel + cutoff) admitted this pair through
-                    // another seed's offset but its own per-source hop
-                    // exceeds the layer cutoff (keeps the doubling step at
-                    // which a pair is "found" aligned with the slow path);
+                  // Two divergences from the per-source pass are handled
+                  // WITHOUT approximating, deferring to it only when the
+                  // cheap exact bounds below cannot already decide:
+                  if (cAbs - costFr(fr) > cutoff) {
+                    // (1) the shared fCut (maxRel + cutoff) admitted this
+                    // pair through another seed's offset but the WINNER's
+                    // own per-source hop exceeds the layer cutoff. Another
+                    // source fr' can settle t this step only if its path
+                    // (>= cAbs - costFr(fr')) fits the cutoff, i.e.
+                    // costFr(fr') >= cAbs - cutoff. If even the max-cost
+                    // seed fails that, NO per-source search finds t at
+                    // this cutoff — skip, keeping the doubling step at
+                    // which the pair is "found" aligned with the slow path.
+                    if (maxSeedCost >= cAbs - cutoff) {
+                      ResidualCut.increment()
+                      if (residual == null) residual = new Array[Boolean](to.length)
+                      residual(t2) = true
+                    }
+                  } else if (cAbs - tail < costFr(fr)) {
                     // (2) the hop>=0 clamp is active (path shorter than the
-                    // un-traversed target tail) — the pre-clamp winner may
-                    // then lose to another source post-clamp, so let the
-                    // per-source pass price all sources exactly
-                    if (residual == null) residual = new Array[Boolean](to.length)
-                    residual(t2) = true
+                    // un-traversed target tail): the winner's clamped total
+                    // is costFr(fr) + pen. Any seed's total is bounded
+                    // below by minSeedCost + pen (hop >= 0), so a winner
+                    // that IS a min-cost source is provably optimal; only
+                    // otherwise must the per-source pass price all sources.
+                    if (costFr(fr) <= minSeedCost) {
+                      val total = costFr(fr) + tc.pen10
+                      if (total < costTo(t2)) {
+                        costTo(t2) = total; predTo(t2) = fr
+                        pathTo(t2) = lv.paths(ti2); foundL = true
+                      }
+                    } else {
+                      ResidualClamp.increment()
+                      if (residual == null) residual = new Array[Boolean](to.length)
+                      residual(t2) = true
+                    }
                   } else {
                     val total = cAbs - tail + tc.pen10
                     if (total < costTo(t2)) {

@@ -33,7 +33,10 @@ object RegressionDiag {
           f"layers=${graft.router.Viterbi.LayersRelaxed.sum() - ly0} " +
           f"ladder_passes=${graft.router.Viterbi.LadderPasses.sum() - lp0} " +
           f"residual_passes=${graft.router.Viterbi.ResidualPasses.sum() - rp0} " +
-          f"residual_targets=${graft.router.Viterbi.ResidualTargets.sum() - rt0}")
+          f"residual_targets=${graft.router.Viterbi.ResidualTargets.sum() - rt0} " +
+          f"r_self=${graft.router.Viterbi.ResidualSelf.sum()} " +
+          f"r_cut=${graft.router.Viterbi.ResidualCut.sum()} " +
+          f"r_clamp=${graft.router.Viterbi.ResidualClamp.sum()}")
       }
     } finally spark.stop()
   }
