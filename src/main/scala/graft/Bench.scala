@@ -253,11 +253,29 @@ object Bench {
     // reps: this host has bursty CPU steal (a single-shot phase time can
     // be 10x off); the minimum is the uncontended measurement.
     runPipeline(spark, rows = 8, cols = 12, tripsPerRoute = 2)
-    val reps = (1 to 3).map { _ =>
+    // steal-screened reps: a rep whose window saw > 1.5% all-core steal is
+    // contaminated (historical bursts inflate a phase up to 3x) — run a
+    // replacement rep, up to 6 total, so the published minima come from
+    // clean windows whenever the host allows any.
+    val repBuf = scala.collection.mutable.ArrayBuffer[(PipelineStats, Double)]()
+    var cleanReps = 0
+    while (cleanReps < 3 && repBuf.size < 6) {
       spark.catalog.clearCache()
       graft.router.HopCache.clear()
-      runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
+      val s0 = StealMeter.sample()
+      val st = runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
+      val steal = StealMeter.pct(s0, StealMeter.sample())
+      repBuf += ((st, steal))
+      if (steal <= 1.5) cleanReps += 1
+      else println(f"[bench-steal] pipeline rep ${repBuf.size} saw $steal%.1f%% steal; re-running")
     }
+    val usable = {
+      val clean = repBuf.filter(_._2 <= 1.5)
+      if (clean.nonEmpty) clean else repBuf
+    }
+    println(f"[bench-reps] viterbi_match=${usable.map(r => f"${r._1.phases.toMap.apply("viterbi_match")}%.2f").mkString(",")} " +
+      f"steal=${usable.map(r => f"${r._2}%.1f").mkString(",")}%% (${repBuf.size} reps, ${usable.size} used)")
+    val reps = usable.map(_._1).toSeq
     val stats = reps.head
     val phaseMin = reps.flatMap(_.phases).groupBy(_._1).map { case (k, vs) =>
       k -> vs.map(_._2).min }
@@ -280,6 +298,23 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       catTimes(name) = catTimes.getOrElse(name, Vector.empty) :+ sec
+    }
+    // one automatic re-run pass for spread-flagged queries: their first
+    // window demonstrably contained a stall, so the median itself is
+    // suspect — three more interleaved reps, median over all six.
+    val flagged = catNames.filter { n =>
+      val ts = catTimes(n).sorted; ts.last > 3 * ts.head
+    }
+    if (flagged.nonEmpty) {
+      println(s"[bench-rerun] re-running ${flagged.size} spread-flagged " +
+        s"queries: ${flagged.mkString(",")}")
+      for (_ <- 1 to 3; name <- flagged) {
+        val (fn, _) = graft.queries.GraftQueries.all(name)
+        val (_, sec) = timed {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        catTimes(name) = catTimes(name) :+ sec
+      }
     }
     catNames.foreach { name =>
       val ts = catTimes(name).sorted
