@@ -68,7 +68,7 @@ object Bench {
   /** accumulates executor task metrics across all jobs (thread-safe), plus
     * per-stage totals so a phase's time can be attributed to the exact
     * operator (stage names carry the first line of the stage's call site) */
-  private final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
     val taskMs = new java.util.concurrent.atomic.LongAdder
     val gcMs = new java.util.concurrent.atomic.LongAdder
     val nTasks = new java.util.concurrent.atomic.LongAdder
@@ -206,8 +206,15 @@ object Bench {
     mark("viterbi_match")
     val nTrips = shapes.select("shape_id").distinct().count()
 
-    val images = ImageFixtures.table(spark, world, cfg.cellRes, noiseTiles = 64).cache()
-    images.count()
+    // images materialization is its own phase: its executor tasks used to
+    // land inside tile_overlay's listener window (untimed in wall but
+    // charged to the overlay's task/GC attribution)
+    val (images, tImages) = timed {
+      val im = ImageFixtures.table(spark, world, cfg.cellRes, noiseTiles = 64).cache()
+      im.count(); im
+    }
+    phases += ("images_build" -> tImages)
+    mark("images_build")
     val (assigned, tOverlay) = timed {
       val a = ImageOverlay.assign(images, shapes, cfg.cellRes).cache()
       a.count(); a

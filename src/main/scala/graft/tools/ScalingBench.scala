@@ -454,7 +454,8 @@ object ScalingBench {
     // minimum over interleaved reps is the uncontended measurement of
     // each phase — the stage figure is their sum.
     val phaseNames = Seq("graph_build", "station_snap", "graph_collect",
-      "cands_join", "viterbi_match", "tile_overlay", "tile_verify")
+      "cands_join", "viterbi_match", "images_build", "tile_overlay",
+      "tile_verify")
     def phaseMin(par: Int, ph: String): Double = repsOf(par).map(_.phases(ph)).min
     def stageOf(par: Int): Double =
       phaseMin(par, "cands_join") + phaseMin(par, "viterbi_match") +
