@@ -52,20 +52,43 @@ object ColorOps {
   /** A7: route color consolidation — collect the voted colors per route;
     * single color -> update in place; multiple -> split the route into
     * `route_id::N` variants (ShapeBuilder.cpp:496-553,1213-1224).
+    * When `routes` (with declared `color`/`text_color` int columns) is
+    * given, the variant whose voted pair equals the route's DECLARED pair
+    * keeps the original route id — the reference leaves that route intact
+    * and mints `::N` only for the others (ShapeBuilder.cpp:520-524),
+    * numbering the minted ones in color order with the matching variant
+    * skipped. Without `routes` every variant of a split is renamed.
     * Returns (route_id, new_route_id, color, text_color). */
-  def consolidateRouteColors(trips: DataFrame, tripColors: DataFrame): DataFrame = {
+  def consolidateRouteColors(trips: DataFrame, tripColors: DataFrame,
+                             routes: DataFrame = null): DataFrame = {
     import trips.sparkSession.implicits._
     val textOf = udf((c: Int) => StringSim.textColorFor(c))
     val perRoute = trips.select($"trip_id", $"route_id")
       .join(tripColors.select($"trip_id", $"color"), Seq("trip_id"))
       .select($"route_id", $"color").distinct()
     val counts = perRoute.groupBy($"route_id").agg(count(lit(1)).as("n_colors"))
-    perRoute.join(counts, Seq("route_id"))
+    val withDecl =
+      if (routes == null || !routes.columns.contains("color"))
+        perRoute.withColumn("decl_color", lit(null).cast("int"))
+          .withColumn("decl_text", lit(null).cast("int"))
+      else perRoute.join(
+        routes.select($"route_id", $"color".cast("int").as("decl_color"),
+          (if (routes.columns.contains("text_color")) $"text_color".cast("int")
+           else textOf($"color".cast("int"))).as("decl_text")),
+        Seq("route_id"), "left")
+    withDecl
+      .withColumn("keeps", coalesce(
+        $"color" === $"decl_color" && textOf($"color") === $"decl_text", lit(false)))
+      .join(counts, Seq("route_id"))
+      // reference numbering: minted ids count up in (color) order over the
+      // NON-matching variants only — the matching one is skipped, not
+      // numbered (ShapeBuilder.cpp:525-534 "find free id" inside the loop
+      // that `continue`s past the declared pair)
       .withColumn("variant", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"route_id")
+        org.apache.spark.sql.expressions.Window.partitionBy($"route_id", $"keeps")
           .orderBy($"color")))
       .withColumn("new_route_id",
-        when($"n_colors" === 1, $"route_id")
+        when($"n_colors" === 1 || $"keeps", $"route_id")
           .otherwise(concat($"route_id", lit("::"), $"variant")))
       .select($"route_id", $"new_route_id", $"color", textOf($"color").as("text_color"))
   }

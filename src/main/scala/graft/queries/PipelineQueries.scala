@@ -80,7 +80,8 @@ object PipelineQueries {
     // A8 shape color vote + A7 route color consolidation over matched hops
     val tripColors = ColorOps.shapeColorVote(hops, edges, gt.wayLines,
       gt.transitLines).cache()
-    val routeColors = ColorOps.consolidateRouteColors(t.trips, tripColors).cache()
+    val routeColors = ColorOps.consolidateRouteColors(t.trips, tripColors,
+      t.routes).cache()
 
     val truthByTrip = t.trips.select($"trip_id", $"route_id")
       .join(t.truthShapes.withColumn("route_id",

@@ -80,6 +80,32 @@ class ColorOpsSpec extends AnyFunSuite {
     assert(!ids.exists(_.startsWith("T2_"))) // R2 was never re-matched
   }
 
+  test("A7 declared-color variant keeps the original route id on a split") {
+    // R1 declares #ff0000/#ffffff; votes are #ff0000 and #0066cc ->
+    // the declared variant keeps R1, only the other is minted ::1
+    // (ShapeBuilder.cpp:520-534: matching pair `continue`s, ids count up
+    // over the rest)
+    val trips = Seq(("t1", "R1"), ("t2", "R1"), ("t3", "R2"))
+      .toDF("trip_id", "route_id")
+    val votes = Seq(("t1", 0xff0000, 0.95), ("t2", 0x0066cc, 0.95),
+      ("t3", 0x00ff00, 0.95)).toDF("trip_id", "color", "coverage")
+    val routes = Seq(("R1", 0xff0000, 0xffffff), ("R2", 0x112233, 0xffffff))
+      .toDF("route_id", "color", "text_color")
+    val rc = ColorOps.consolidateRouteColors(trips, votes, routes)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    // R1: declared red keeps the id; blue (the only minted one) gets ::1
+    assert(rc.contains(("R1", "R1", 0xff0000)))
+    assert(rc.contains(("R1", "R1::1", 0x0066cc)))
+    // R2: single color != declared -> in-place update, id kept
+    assert(rc.contains(("R2", "R2", 0x00ff00)))
+    assert(rc.length == 3)
+
+    // without declared colors every variant of a split is renamed (legacy)
+    val rcNoDecl = ColorOps.consolidateRouteColors(trips, votes)
+      .filter($"route_id" === "R1").collect().map(_.getString(1)).sorted
+    assert(rcNoDecl.toSeq == Seq("R1::1", "R1::2"))
+  }
+
   test("A7 fare-rule copy: split routes keep fare coverage") {
     val trips = Seq(("t1", "R1"), ("t2", "R1"), ("t3", "R2"))
       .toDF("trip_id", "route_id")
