@@ -643,8 +643,9 @@ object GraftQueries {
     relational ++ spatial ++ graphRel ++ events ++ text ++ dedup ++ ann
 
   def queries: Map[String, Q] =
-    all.map { case (k, (q, _)) => k -> q } ++ PipelineQueries.all
+    all.map { case (k, (q, _)) => k -> q } ++ PipelineQueries.all ++
+      PipelineQueries.invariants
   def oracleSql: Map[String, String] = all.collect {
     case (k, (_, sql)) if sql != null => k -> sql
-  } ++ PipelineOracles.sql
+  } ++ PipelineOracles.sql ++ PipelineQueries.invariantSql
 }

@@ -30,7 +30,9 @@ object PipelineQueries {
 
   case class Artifacts(shapes: DataFrame, anchors: DataFrame, scores: DataFrame,
                        assigned: DataFrame, verified: DataFrame,
-                       tripColors: DataFrame, routeColors: DataFrame)
+                       tripColors: DataFrame, routeColors: DataFrame,
+                       hops: DataFrame, images: DataFrame,
+                       t: WorldTables.Tables, eligTripStops: DataFrame)
 
   /** bump when graph/matcher semantics change — keeps persisted snapshot
     * checkpoints from serving stale stage output to a newer engine */
@@ -98,7 +100,7 @@ object PipelineQueries {
     val assigned = ImageOverlay.assign(images, shapes, cfg.cellRes)
     val verified = ImageOverlay.verify(spark, images)
     val a = Artifacts(shapes, anchors, scores, assigned, verified,
-      tripColors, routeColors)
+      tripColors, routeColors, hops, images, t, tripStops)
     cache = (spark, a)
     a
   }
@@ -160,4 +162,136 @@ object PipelineQueries {
           $"text_color".cast("long").as("text_color"))
         .orderBy($"route_id", $"new_route_id")
     }))
+
+  /** INDEPENDENT invariant oracles for the six VALUES-golden queries. The
+    * goldens (PipelineOracles) pin regressions but are engine-generated —
+    * a wrong-but-stable kernel could self-certify through them. Each query
+    * here computes violation counts of a SEMANTIC property over the engine
+    * artifacts (and the independent GTFS fixture inputs), and its DuckDB
+    * oracle is the constant the semantics demand (all-zero row) — nothing
+    * on the oracle side derives from the engine. */
+  val invariants: Map[String, Q] = Map(
+    // q_match_shapes: travel_dist is a cumulative measure — it must start
+    // at 0 and never decrease along a shape (W2); every eligible trip must
+    // produce a shape; point seq is dense from 0
+    "q_inv_shapes" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val a = artifacts(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shape_id").orderBy($"seq")
+      val flags = a.shapes
+        .withColumn("p_dist", lag($"travel_dist", 1).over(w))
+        .withColumn("rk", row_number().over(w))
+      val nNonMono = flags.filter($"p_dist".isNotNull && $"travel_dist" < $"p_dist").count()
+      val nBadStart = flags.filter($"rk" === 1 &&
+        ($"seq" =!= 0 || $"travel_dist" =!= 0.0)).count()
+      val nUnmatched = a.eligTripStops.select($"trip_id").distinct()
+        .join(a.shapes.select($"shape_id".as("trip_id")).distinct(),
+          Seq("trip_id"), "left_anti").count()
+      Seq((nNonMono, nBadStart, nUnmatched))
+        .toDF("n_nonmono", "n_bad_start", "n_unmatched")
+    }),
+    // q_match_shapes/q_shapevl anchors + hops vs the INDEPENDENT stop_times
+    // table: one anchor per stop, strictly increasing, within the shape's
+    // point range; hops per trip = stops - 1
+    "q_inv_anchors" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val a = artifacts(s)
+      val stopsPerTrip = a.eligTripStops
+        .groupBy($"trip_id").agg(count(lit(1)).as("n_stops"))
+      val anchorsPerTrip = a.anchors.groupBy($"trip_id").agg(count(lit(1)).as("n_anchors"))
+      val nCountBad = stopsPerTrip.join(anchorsPerTrip, Seq("trip_id"), "left")
+        .filter($"n_anchors".isNull || $"n_anchors" =!= $"n_stops").count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"trip_id").orderBy($"stop_idx")
+      val nNonInc = a.anchors
+        .withColumn("p", lag($"point_seq", 1).over(w))
+        .filter($"p".isNotNull && $"point_seq" <= $"p").count()
+      val maxSeq = a.shapes.groupBy($"shape_id".as("trip_id"))
+        .agg(max($"seq").as("max_seq"))
+      val nRangeBad = a.anchors.join(maxSeq, Seq("trip_id"))
+        .filter($"point_seq" < 0 || $"point_seq" > $"max_seq").count()
+      val hopsPerTrip = a.hops.groupBy($"trip_id").agg(count(lit(1)).as("n_hops"))
+      val nHopsBad = stopsPerTrip.join(hopsPerTrip, Seq("trip_id"), "left")
+        .filter($"n_hops".isNull || $"n_hops" =!= $"n_stops" - 1).count()
+      Seq((nCountBad, nNonInc, nRangeBad, nHopsBad))
+        .toDF("n_count_bad", "n_noninc", "n_range_bad", "n_hops_bad")
+    }),
+    // q_tile_assign: the assignment must equal the set recomputed from
+    // first principles — tile cell parsed out of the image id in SQL,
+    // shape cells re-derived from the shapes artifact — in BOTH directions
+    "q_inv_tiles" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val a = artifacts(s)
+      val cfg = OsmConfig.bus
+      val tiles = a.images.select($"image_id",
+        split($"image_id", "_").getItem(1).cast("long").as("cell"))
+      val shapeCells = a.shapes.select($"shape_id",
+        graft.functions.GeoFunctions.gcell($"lat", $"lng", cfg.cellRes).as("cell"))
+        .distinct()
+      val expected = tiles.join(shapeCells, Seq("cell"))
+        .select($"image_id", $"shape_id", $"cell")
+      val got = a.assigned.select($"image_id", $"shape_id", $"cell")
+      val nMissing = expected.join(got, Seq("image_id", "shape_id", "cell"), "left_anti").count()
+      val nExtra = got.join(expected, Seq("image_id", "shape_id", "cell"), "left_anti").count()
+      Seq((nMissing, nExtra)).toDF("n_missing", "n_extra")
+    }),
+    // q_color_vote/q_route_colors: every voted (route, color) pair appears
+    // as a variant; a split route keeps at most one un-suffixed id;
+    // coverage clears the vote threshold; text colors are black or white
+    "q_inv_colors" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val a = artifacts(s)
+      val voted = a.t.trips.select($"trip_id", $"route_id")
+        .join(a.tripColors.select($"trip_id", $"color"), Seq("trip_id"))
+        .select($"route_id", $"color").distinct()
+      val nVoteLost = voted.join(
+        a.routeColors.select($"route_id", $"color"),
+        Seq("route_id", "color"), "left_anti").count()
+      val nMultiKeep = a.routeColors
+        .groupBy($"route_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(!$"new_route_id".contains("::"), 1L).otherwise(0L)).as("n_keep"))
+        .filter($"n" > 1 && $"n_keep" > 1).count()
+      val nCovBad = a.tripColors.filter($"coverage" <= 0.9).count()
+      val nTextBad = a.routeColors
+        .filter(!$"text_color".isin(0x000000, 0xffffff)).count()
+      Seq((nVoteLost, nMultiKeep, nCovBad, nTextBad))
+        .toDF("n_vote_lost", "n_multi_keep", "n_cov_bad", "n_text_bad")
+    }),
+    // q_shapevl_scores: aN/aL are fractions in [0,1]; Frechet averages are
+    // non-negative; every scored trip has at least one segment
+    "q_inv_scores" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val a = artifacts(s)
+      val nRangeBad = a.scores.filter(
+        $"an" < 0 || $"an" > 1 || $"al" < 0 || $"al" > 1 || $"avg_fd" < 0).count()
+      val nNoSegs = a.scores.filter($"n_segs" <= 0).count()
+      Seq((nRangeBad, nNoSegs)).toDF("n_range_bad", "n_no_segs")
+    }),
+    // q_tile_verify: the input_hint per-row invariant — every image row
+    // verifies (PSNR/phash/caption) and none is skipped
+    "q_inv_verify" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val a = artifacts(s)
+      val nFail = a.verified.filter(
+        !$"psnr_ok" || !$"phash_ok" || !$"caption_ok").count()
+      val nSkipped = a.images.count() - a.verified.count()
+      Seq((nFail, nSkipped)).toDF("n_fail", "n_skipped")
+    }))
+
+  /** the semantic constants the invariants must equal — DuckDB-side */
+  val invariantSql: Map[String, String] = Map(
+    "q_inv_shapes" ->
+      "SELECT CAST(0 AS BIGINT) AS n_nonmono, CAST(0 AS BIGINT) AS n_bad_start, CAST(0 AS BIGINT) AS n_unmatched",
+    "q_inv_anchors" ->
+      "SELECT CAST(0 AS BIGINT) AS n_count_bad, CAST(0 AS BIGINT) AS n_noninc, CAST(0 AS BIGINT) AS n_range_bad, CAST(0 AS BIGINT) AS n_hops_bad",
+    "q_inv_tiles" ->
+      "SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra",
+    "q_inv_colors" ->
+      "SELECT CAST(0 AS BIGINT) AS n_vote_lost, CAST(0 AS BIGINT) AS n_multi_keep, CAST(0 AS BIGINT) AS n_cov_bad, CAST(0 AS BIGINT) AS n_text_bad",
+    "q_inv_scores" ->
+      "SELECT CAST(0 AS BIGINT) AS n_range_bad, CAST(0 AS BIGINT) AS n_no_segs",
+    "q_inv_verify" ->
+      "SELECT CAST(0 AS BIGINT) AS n_fail, CAST(0 AS BIGINT) AS n_skipped")
 }
