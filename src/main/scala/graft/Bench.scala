@@ -171,27 +171,49 @@ object Bench {
     phases += ("graph_build" -> tGraph)
     mark("graph_build")
 
-    // J4/J6/F4: orphan-station snap + edge splitting (bounded dimension)
-    val (gt, tSnap) = timed {
-      val (g2, _) = graft.osm.StationSnap.refine(spark, gt0, cfg, gt0.blockers)
-      g2.edges.cache().count(); g2
+    // SPARK_GRAFT_DIST_BUILD=1: the fully distributed construction path —
+    // CC + per-bin snap cogroup + executor-built file-backed bins
+    // (DistGraphBuild); no O(numEdges) driver materialization. Default:
+    // the driver-side snap + collect + broadcast path.
+    val distBuild = sys.env.contains("SPARK_GRAFT_DIST_BUILD")
+    val (edgesR, stationsR, partsOrNull, graphOrNull) = if (distBuild) {
+      val binDir = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BIN_DIR", "target/binstore/bench"))
+        .getAbsolutePath
+      val (res, tSnap) = timed {
+        val r = graft.router.DistGraphBuild.build(spark, gt0, cfg, binDir)
+        r.edges.cache().count(); r
+      }
+      phases += ("station_snap" -> tSnap)
+      mark("station_snap")
+      phases += ("graph_collect" -> 0.0) // no driver collect on this path
+      mark("graph_collect")
+      (res.edges, res.stations, res.parts, null: CompactGraph)
+    } else {
+      // J4/J6/F4: orphan-station snap + edge splitting (bounded dimension)
+      val (gt, tSnap) = timed {
+        val (g2, _) = graft.osm.StationSnap.refine(spark, gt0, cfg, gt0.blockers)
+        g2.edges.cache().count(); g2
+      }
+      phases += ("station_snap" -> tSnap)
+      mark("station_snap")
+      val (graph, tCollect) = timed(CompactGraph.fromEdges(gt.edges, gt.restrictions,
+        gt.wayLines, gt.transitLines, gt.turnCycles))
+      phases += ("graph_collect" -> tCollect)
+      mark("graph_collect")
+      (gt.edges, gt.stations, null: graft.router.GraphPartitions, graph)
     }
-    phases += ("station_snap" -> tSnap)
-    mark("station_snap")
-
-    val (graph, tCollect) = timed(CompactGraph.fromEdges(gt.edges, gt.restrictions,
-      gt.wayLines, gt.transitLines, gt.turnCycles))
-    phases += ("graph_collect" -> tCollect)
-    mark("graph_collect")
 
     val (cands, tCands) = timed {
       // flagship path: station-aware candidates (J4/J5 + statsimi).
       // localCheckpoint: the cands DAG (kring explode x edge cells x
       // station simi joins) is referenced by the solve AND the join-backs;
       // truncating keeps downstream AQE plan strings bounded.
-      val c = Matcher.buildCandsWithStations(spark, t.stops, gt.edges,
-        gt.stations, cfg,
+      val c0 = Matcher.buildCandsWithStations(spark, t.stops, edgesR,
+        stationsR, cfg,
         maxAbsLat = Some(math.max(math.abs(bbox.latMin), math.abs(bbox.latMax))))
+      val c = (if (distBuild) graft.router.DistGraphBuild.tagCands(c0, edgesR)
+               else c0)
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       c.count(); c
     }
@@ -199,7 +221,12 @@ object Bench {
     mark("cands_join")
 
     val (shapes, tMatch) = timed {
-      val s = Matcher.matchTrips(spark, WorldTables.tripStops(t), cands, graph, cfg).cache()
+      val mr =
+        if (distBuild) Matcher.matchTripsFull(spark, WorldTables.tripStops(t),
+          cands, partsOrNull, cfg)
+        else Matcher.matchTripsFull(spark, WorldTables.tripStops(t),
+          cands, graphOrNull, cfg)
+      val s = mr.shapes.cache()
       s.count(); s
     }
     phases += ("viterbi_match" -> tMatch)

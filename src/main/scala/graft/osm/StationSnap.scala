@@ -62,14 +62,14 @@ object StationSnap {
       math.max(StringSim.prefixEditSimi(na, nb), StringSim.btsSimi(na, nb)))
   }
 
-  private final class WEdge(val id: Long, val wayId: Long, val pos: Long,
+  private[graft] final class WEdge(val id: Long, val wayId: Long, val pos: Long,
                             var from: Long, var to: Long,
                             val lat: Array[Double], val lon: Array[Double],
                             val lenM: Double, val cost10: Long,
                             val lvl: Int, val oneway: Int)
 
   /** Mutable in-memory working graph for the sequential snap pass. */
-  private final class Work(cellRes: Int) {
+  private[graft] final class Work(cellRes: Int) {
     val edges = mutable.ArrayBuffer[WEdge]()
     val alive = mutable.ArrayBuffer[Boolean]()
     val adj = mutable.HashMap[Long, mutable.ArrayBuffer[Int]]()
@@ -79,7 +79,6 @@ object StationSnap {
     /** station info per graph node (name) */
     val statOf = mutable.HashMap[Long, String]()
     val blockers = mutable.HashSet[Long]()
-    var nextSynthetic = -1L
 
     def addEdge(e: WEdge): Int = {
       edges += e; alive += true
@@ -181,6 +180,131 @@ object StationSnap {
 
   case class SnapStats(nSplit: Int, nEndpoint: Int, nAliased: Int, nOffGraph: Int)
 
+  /** Content-derived synthetic ids for split vertices/edges: deterministic
+    * under ANY processing order — the driver's sequential pass and the
+    * per-bin distributed pass (DistGraphBuild) mint the SAME id for the
+    * same (station, host edge) split, so both builds produce identical
+    * edge-id sets and hence identical dense-index routing tie-breaks.
+    * Negative (disjoint from OSM-derived ids), splitmix64-style avalanche;
+    * collisions over the station x edge space are ~2^-63 per pair. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def synthId(a: Long, b: Long, c: Long): Long =
+    -((mix64(mix64(mix64(a) ^ b) ^ c) & Long.MaxValue) | 1L)
+
+  /** placement detail per station: the final vertex plus the (prio, dist,
+    * edge id) of the placing candidate — prio 0 = the station node already
+    * IS a graph node (placed before the candidate loop), prio 1 = placed
+    * via a candidate edge. The tuple is the arbitration key when several
+    * per-bin passes place the same station: min (prio, dist, edgeId)
+    * reproduces the sequential pass's first-placing-candidate order. */
+  case class Placement(node: Long, lat: Double, lon: Double,
+                       prio: Int, dist: Double, edgeId: Long, kind: Int)
+
+  /** The sequential snap pass over one in-memory working graph — shared by
+    * the driver-side refine() (one Work for the whole graph) and the
+    * distributed per-bin pass (one Work per component bin; DistGraphBuild).
+    * Mutates `w` (splits/marks) and returns the placements.
+    *
+    * `sidOwnerOk(sid)`: whether THIS pass may reuse the station's own node
+    * id for an inserted split vertex. The driver pass always may; a per-bin
+    * pass may only when it is the station's owner bin (the bin of its
+    * globally nearest candidate edge) — two bins both claiming `sid` would
+    * alias two distinct vertices into one node id in a cross-bin merge. */
+  def runPass(w: Work, stations: Seq[(Long, Double, Double, String, String)],
+              cfg: OsmConfig,
+              sidOwnerOk: Long => Boolean = _ => true): mutable.HashMap[Long, Placement] = {
+    // stations whose node already IS a graph node carry their info in place
+    // (the reference sets SI while reading nodes; only orphans snap)
+    stations.foreach { case (id, _, _, name, _) =>
+      if (w.nodeLat.contains(id) && name != null) w.statOf(id) = name
+    }
+
+    val placed = mutable.HashMap[Long, Placement]()
+    val speeds = cfg.levelSpeedsKmh.map(_ / 3.6)
+    val d = cfg.maxOsmStationDistanceM
+
+    stations.foreach { case (sid, sLat, sLon, name0, _) =>
+      val name = if (name0 == null) "" else name0
+      if (w.nodeLat.contains(sid)) {
+        placed(sid) = Placement(sid, w.nodeLat(sid), w.nodeLon(sid), 0, 0.0, 0L, -1)
+      } else {
+        w.edgeCands(sLat, sLon, d).foreach { case (ei, progr, pLat, pLon, cDist) =>
+          if (w.alive(ei)) {
+            val e = w.edges(ei)
+            val eqPred = (n: Long) => w.statOf.get(n).exists(sn =>
+              stationSimi(name, sn,
+                Geo.haversineM(sLat, sLon, w.nodeLat(n), w.nodeLon(n)),
+                cfg.stationNorm) >= EqMinSimi)
+            depthSearch(w, ei, pLat, pLon, 2 * d, 0, cfg.fullTurnAngleDeg, eqPred) match {
+              case Some(eq) =>
+                if (!placed.contains(sid)) {
+                  placed(sid) = Placement(eq, w.nodeLat(eq), w.nodeLon(eq),
+                    1, cDist, e.id, 0)
+                }
+              case None if e.lvl > cfg.maxSnapLevel => ()
+              case None =>
+                val blockPred = (n: Long) => w.blockers.contains(n) ||
+                  w.statOf.get(n).exists(sn => stationSimi(name, sn,
+                    Geo.haversineM(sLat, sLon, w.nodeLat(n), w.nodeLon(n)),
+                    cfg.stationNorm) < BlockMaxSimi)
+                val blocked = depthSearch(w, ei, pLat, pLon,
+                  cfg.maxBlockDistanceM, 0, cfg.fullTurnAngleDeg, blockPred).isDefined
+                if (!blocked) {
+                  val dF = Geo.haversineM(pLat, pLon, w.nodeLat(e.from), w.nodeLon(e.from))
+                  val dT = Geo.haversineM(pLat, pLon, w.nodeLat(e.to), w.nodeLon(e.to))
+                  if (!w.statOf.contains(e.from) && dF < EndpointSnapM) {
+                    w.statOf(e.from) = name
+                    if (!placed.contains(sid)) {
+                      placed(sid) = Placement(e.from, w.nodeLat(e.from), w.nodeLon(e.from),
+                        1, cDist, e.id, 1)
+                    }
+                  } else if (!w.statOf.contains(e.to) && dT < EndpointSnapM) {
+                    w.statOf(e.to) = name
+                    if (!placed.contains(sid)) {
+                      placed(sid) = Placement(e.to, w.nodeLat(e.to), w.nodeLon(e.to),
+                        1, cDist, e.id, 1)
+                    }
+                  } else {
+                    // insert the station vertex + split the edge
+                    val nodeId =
+                      if (sidOwnerOk(sid) && !w.nodeLat.contains(sid)) sid
+                      else synthId(sid, e.id, 0)
+                    w.nodeLat(nodeId) = pLat; w.nodeLon(nodeId) = pLon
+                    w.statOf(nodeId) = name
+                    val line = e.lat.indices.map(k => (e.lat(k), e.lon(k))).toArray
+                    val g1 = normEnds(Geo.subPolyline(line, 0.0, progr),
+                      (w.nodeLat(e.from), w.nodeLon(e.from)), (pLat, pLon))
+                    val g2 = normEnds(Geo.subPolyline(line, progr, 1.0),
+                      (pLat, pLon), (w.nodeLat(e.to), w.nodeLon(e.to)))
+                    val l1 = Geo.polylineLenM(g1); val l2 = Geo.polylineLenM(g2)
+                    val sp = speeds(math.min(e.lvl, speeds.length - 1))
+                    val id1 = synthId(sid, e.id, 1)
+                    val id2 = synthId(sid, e.id, 2)
+                    w.killEdge(ei)
+                    w.addEdge(new WEdge(id1, e.wayId, e.pos, e.from, nodeId,
+                      g1.map(_._1), g1.map(_._2), l1, Geo.costToInt(l1 / sp),
+                      e.lvl, e.oneway))
+                    w.addEdge(new WEdge(id2, e.wayId, e.pos, nodeId, e.to,
+                      g2.map(_._1), g2.map(_._2), l2, Geo.costToInt(l2 / sp),
+                      e.lvl, e.oneway))
+                    if (!placed.contains(sid)) {
+                      placed(sid) = Placement(nodeId, pLat, pLon, 1, cDist, e.id, 2)
+                    }
+                  }
+                }
+            }
+          }
+        }
+      }
+    }
+    placed
+  }
+
   /** Refine a built GraphTables: snap orphan stations into the edge set.
     * Returns the refined tables + stats. blockerNodes may be null/empty. */
   def refine(spark: SparkSession, gt: GraphBuilder.GraphTables, cfg: OsmConfig,
@@ -215,92 +339,14 @@ object StationSnap {
         if (r.isNullAt(4)) null else r.getString(4)))
       .sortBy(_._1)
 
-    // stations whose node already IS a graph node carry their info in place
-    // (the reference sets SI while reading nodes; only orphans snap)
-    stations.foreach { case (id, _, _, name, _) =>
-      if (w.nodeLat.contains(id) && name != null) w.statOf(id) = name
-    }
+    val placed = runPass(w, stations, cfg)
 
-    // station -> final graph vertex (or None if off-graph)
-    val placed = mutable.HashMap[Long, (Long, Double, Double)]()
     var nSplit = 0; var nEndpoint = 0; var nAliased = 0
-
-    val speeds = cfg.levelSpeedsKmh.map(_ / 3.6)
-    val d = cfg.maxOsmStationDistanceM
-
-    stations.foreach { case (sid, sLat, sLon, name0, _) =>
-      val name = if (name0 == null) "" else name0
-      if (w.nodeLat.contains(sid)) {
-        placed(sid) = (sid, w.nodeLat(sid), w.nodeLon(sid))
-      } else {
-        w.edgeCands(sLat, sLon, d).foreach { case (ei, progr, pLat, pLon, _) =>
-          if (w.alive(ei)) {
-            val e = w.edges(ei)
-            val eqPred = (n: Long) => w.statOf.get(n).exists(sn =>
-              stationSimi(name, sn,
-                Geo.haversineM(sLat, sLon, w.nodeLat(n), w.nodeLon(n)),
-                cfg.stationNorm) >= EqMinSimi)
-            depthSearch(w, ei, pLat, pLon, 2 * d, 0, cfg.fullTurnAngleDeg, eqPred) match {
-              case Some(eq) =>
-                if (!placed.contains(sid)) {
-                  placed(sid) = (eq, w.nodeLat(eq), w.nodeLon(eq))
-                  nAliased += 1
-                }
-              case None if e.lvl > cfg.maxSnapLevel => ()
-              case None =>
-                val blockPred = (n: Long) => w.blockers.contains(n) ||
-                  w.statOf.get(n).exists(sn => stationSimi(name, sn,
-                    Geo.haversineM(sLat, sLon, w.nodeLat(n), w.nodeLon(n)),
-                    cfg.stationNorm) < BlockMaxSimi)
-                val blocked = depthSearch(w, ei, pLat, pLon,
-                  cfg.maxBlockDistanceM, 0, cfg.fullTurnAngleDeg, blockPred).isDefined
-                if (!blocked) {
-                  val dF = Geo.haversineM(pLat, pLon, w.nodeLat(e.from), w.nodeLon(e.from))
-                  val dT = Geo.haversineM(pLat, pLon, w.nodeLat(e.to), w.nodeLon(e.to))
-                  if (!w.statOf.contains(e.from) && dF < EndpointSnapM) {
-                    w.statOf(e.from) = name
-                    if (!placed.contains(sid)) {
-                      placed(sid) = (e.from, w.nodeLat(e.from), w.nodeLon(e.from))
-                      nEndpoint += 1
-                    }
-                  } else if (!w.statOf.contains(e.to) && dT < EndpointSnapM) {
-                    w.statOf(e.to) = name
-                    if (!placed.contains(sid)) {
-                      placed(sid) = (e.to, w.nodeLat(e.to), w.nodeLon(e.to))
-                      nEndpoint += 1
-                    }
-                  } else {
-                    // insert the station vertex + split the edge
-                    val nodeId =
-                      if (!w.nodeLat.contains(sid)) sid
-                      else { val v = w.nextSynthetic; w.nextSynthetic -= 1; v }
-                    w.nodeLat(nodeId) = pLat; w.nodeLon(nodeId) = pLon
-                    w.statOf(nodeId) = name
-                    val line = e.lat.indices.map(k => (e.lat(k), e.lon(k))).toArray
-                    val g1 = normEnds(Geo.subPolyline(line, 0.0, progr),
-                      (w.nodeLat(e.from), w.nodeLon(e.from)), (pLat, pLon))
-                    val g2 = normEnds(Geo.subPolyline(line, progr, 1.0),
-                      (pLat, pLon), (w.nodeLat(e.to), w.nodeLon(e.to)))
-                    val l1 = Geo.polylineLenM(g1); val l2 = Geo.polylineLenM(g2)
-                    val sp = speeds(math.min(e.lvl, speeds.length - 1))
-                    val id1 = w.nextSynthetic; w.nextSynthetic -= 1
-                    val id2 = w.nextSynthetic; w.nextSynthetic -= 1
-                    w.killEdge(ei)
-                    w.addEdge(new WEdge(id1, e.wayId, e.pos, e.from, nodeId,
-                      g1.map(_._1), g1.map(_._2), l1, Geo.costToInt(l1 / sp),
-                      e.lvl, e.oneway))
-                    w.addEdge(new WEdge(id2, e.wayId, e.pos, nodeId, e.to,
-                      g2.map(_._1), g2.map(_._2), l2, Geo.costToInt(l2 / sp),
-                      e.lvl, e.oneway))
-                    if (!placed.contains(sid)) {
-                      placed(sid) = (nodeId, pLat, pLon)
-                      nSplit += 1
-                    }
-                  }
-                }
-            }
-          }
-        }
+    placed.values.foreach { p =>
+      if (p.prio == 1) p.kind match {
+        case 0 => nAliased += 1
+        case 1 => nEndpoint += 1
+        case _ => nSplit += 1
       }
     }
 
@@ -341,7 +387,7 @@ object StationSnap {
     // (snapped coords), off-graph stations unchanged
     val placedRows = stations.map { case (sid, sLat, sLon, name, track) =>
       placed.get(sid) match {
-        case Some((node, la, lo)) => (node, la, lo, name, track)
+        case Some(p) => (p.node, p.lat, p.lon, name, track)
         case None => (sid, sLat, sLon, name, track)
       }
     }.distinct

@@ -36,7 +36,7 @@ object PipelineQueries {
 
   /** bump when graph/matcher semantics change — keeps persisted snapshot
     * checkpoints from serving stale stage output to a newer engine */
-  val EngineVersion = "r4-snap"
+  val EngineVersion = "r5-snap"
 
   @volatile private var cache: (SparkSession, Artifacts) = null
 

@@ -330,6 +330,10 @@ object CompactGraph {
   private[router] val TokenCounter = new java.util.concurrent.atomic.AtomicLong(
     new java.security.SecureRandom().nextLong() & 0x7FFFFFFFFFF00000L)
 
+  /** a fresh cache generation id for a partition set whose bins were built
+    * off-driver (FileBin stamps it onto each loaded graph) */
+  def newEpoch(): Long = TokenCounter.incrementAndGet()
+
   /** Convenience builder from simple tuples (tests): (from, to, costSec,
     * oneway, wayId). Geometry = straight line between supplied coords.
     * Edge id = index. */
@@ -468,8 +472,7 @@ object CompactGraph {
         org.apache.spark.sql.functions.expr("transform(geom, p -> p.lon)").as("glon"))
     else edges.select("edge_id", "way_id", "from_id", "to_id",
       "from_lat", "from_lon", "to_lat", "to_lon", "cost10", "len_m", "oneway"))
-      .collect().sortBy(_.getLong(0))
-    val n = rows.length
+      .collect()
     // (short_name, from_str, to_str) triples per way — G2 needs the
     // from/to split (RoutingAttrs.h:40-42); columns may be absent on
     // older line dims
@@ -487,6 +490,36 @@ object CompactGraph {
             w -> rs.map(r => (r.getString(1), r.getString(2), r.getString(3))).distinct
           }
       }
+    val edgeRows = rows.map { r =>
+      val (glat, glon) =
+        if (hasGeom) (r.getSeq[Double](11).toArray, r.getSeq[Double](12).toArray)
+        else (Array(r.getDouble(4), r.getDouble(6)), Array(r.getDouble(5), r.getDouble(7)))
+      EdgeRowIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        glat, glon, r.getLong(8), r.getDouble(9), r.getInt(10))
+    }
+    val restr = restrictions.select("via_node", "from_way", "to_way", "positive")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val tcy =
+      if (turnCycles == null) Array.empty[Long]
+      else turnCycles.select("node_id").collect().map(_.getLong(0))
+    fromRows(edgeRows, wayToNames, restr, tcy)
+  }
+
+  /** one pre-parsed edge row (id-sorted by the caller or fromRows) */
+  case class EdgeRowIn(id: Long, wayId: Long, from: Long, to: Long,
+                       glat: Array[Double], glon: Array[Double],
+                       cost10: Long, lenM: Double, oneway: Int)
+
+  /** Array-level builder shared by the driver-side fromEdges collect and
+    * the executor-side per-bin build (DistGraphBuild): rows are sorted by
+    * edge id here, so any caller yields the same dense-index order (the
+    * Dijkstra tie-break order) for the same edge set. */
+  def fromRows(rowsIn: Array[EdgeRowIn],
+               wayToNames: Map[Long, Array[(String, String, String)]],
+               restr: Array[(Long, Long, Long, Boolean)],
+               turnCycles: Array[Long]): CompactGraph = {
+    val rows = rowsIn.sortBy(_.id)
+    val n = rows.length
     val ids = new Array[Long](n); val ef = new Array[Long](n); val et = new Array[Long](n)
     val c10 = new Array[Long](n); val lm = new Array[Double](n)
     val ow = new Array[Int](n); val wy = new Array[Long](n)
@@ -497,28 +530,16 @@ object CompactGraph {
     var i = 0
     while (i < n) {
       val r = rows(i)
-      ids(i) = r.getLong(0); wy(i) = r.getLong(1)
-      ef(i) = r.getLong(2); et(i) = r.getLong(3)
-      if (hasGeom) {
-        gla(i) = r.getSeq[Double](11).toArray
-        glo(i) = r.getSeq[Double](12).toArray
-      } else {
-        gla(i) = Array(r.getDouble(4), r.getDouble(6))
-        glo(i) = Array(r.getDouble(5), r.getDouble(7))
-      }
-      c10(i) = r.getLong(8); lm(i) = r.getDouble(9); ow(i) = r.getInt(10)
+      ids(i) = r.id; wy(i) = r.wayId; ef(i) = r.from; et(i) = r.to
+      gla(i) = r.glat; glo(i) = r.glon
+      c10(i) = r.cost10; lm(i) = r.lenM; ow(i) = r.oneway
       val triples = wayToNames.getOrElse(wy(i), Array.empty)
       eln(i) = triples.map(_._1)
       elnF(i) = triples.map(_._2)
       elnT(i) = triples.map(_._3)
       i += 1
     }
-    val restr = restrictions.select("via_node", "from_way", "to_way", "positive")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    val tcy =
-      if (turnCycles == null) Array.empty[Long]
-      else turnCycles.select("node_id").collect().map(_.getLong(0))
     new CompactGraph(ids, ef, et, c10, lm, ow, wy, gla, glo, eln, restr,
-      edgeLinesFrom = elnF, edgeLinesTo = elnT, turnCycleNodesIn = tcy)
+      edgeLinesFrom = elnF, edgeLinesTo = elnT, turnCycleNodesIn = turnCycles)
   }
 }

@@ -26,10 +26,72 @@ import org.apache.spark.sql.SparkSession
   * co-locate each bin's tasks on few executors; with lazy torrent fetch
   * this is an optimization, not a correctness requirement.
   */
+/** How a bin's CompactGraph reaches a solver task. */
+sealed trait BinHandle extends Serializable { def get: CompactGraph }
+
+/** Driver-built bin shipped via torrent broadcast (blocks fetched lazily
+  * on first .value). */
+final case class BroadcastBin(bc: Broadcast[CompactGraph]) extends BinHandle {
+  def get: CompactGraph = bc.value
+}
+
+/** Executor-built bin persisted to shared storage (DistGraphBuild): the
+  * driver never holds the graph bytes — tasks lazily deserialize the file
+  * once per JVM (cached by path). `epoch` is the partition set's cache
+  * generation, stamped onto the loaded graph so every bin of one build
+  * shares one HopCache generation like the broadcast path does. */
+final case class FileBin(path: String, epoch: Long) extends BinHandle {
+  def get: CompactGraph = FileBin.load(path, epoch)
+}
+
+object FileBin {
+  /** per-JVM loaded-bin cache, LRU over MaxCached entries (a long-lived
+    * executor serving many builds must not pin dead graphs) */
+  private val MaxCached = 64
+  private val cache =
+    new java.util.LinkedHashMap[String, CompactGraph](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CompactGraph]): Boolean =
+        size() > MaxCached
+    }
+
+  def load(path: String, epoch: Long): CompactGraph = cache.synchronized {
+    val hit = cache.get(path)
+    if (hit != null) return hit
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    val in = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(path)), 1 << 20))
+    try {
+      val g = in.readObject().asInstanceOf[CompactGraph].setEpoch(epoch)
+      cache.put(path, g)
+      g
+    } finally in.close()
+  }
+
+  def write(path: String, g: CompactGraph): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "." + java.util.UUID.randomUUID())
+    val out = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+      fs.create(tmp, true), 1 << 20))
+    try out.writeObject(g) finally out.close()
+    // atomic-ish publish; a concurrent attempt's rename losing the race is
+    // fine — contents are deterministic for a given bin
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    fs.getFileStatus(p).getLen
+  }
+}
+
 final class GraphPartitions(
-    val bins: Array[Broadcast[CompactGraph]],
-    /** global edge id -> bin index; empty when bins.length == 1 */
-    val binOfEdge: Broadcast[java.util.HashMap[Long, java.lang.Integer]])
+    val bins: Array[BinHandle],
+    /** global edge id -> bin index; empty when bins.length == 1 or when
+      * candidates carry bin tags (file mode) */
+    val binOfEdge: Broadcast[java.util.HashMap[Long, java.lang.Integer]],
+    /** file mode: bins were built executor-side; candidate rows MUST carry
+      * their bin tag (resolve-by-edge-id has no map to consult) */
+    val fileMode: Boolean = false)
   extends Serializable {
 
   /** The graph a cluster with these candidate edges must route over: the
@@ -39,7 +101,8 @@ final class GraphPartitions(
     * only the fallback ladder runs). Unknown edge ids are ignored, like
     * expandLayer ignores them. */
   def resolve(candEdgeIds: Array[Long]): CompactGraph = {
-    if (bins.length == 1) return bins(0).value
+    if (bins.length == 1) return bins(0).get
+    require(!fileMode, "file-mode partitions resolve by bin tags, not edge ids")
     val bm = binOfEdge.value
     var touched: java.util.TreeSet[Integer] = null
     var only = -1
@@ -56,7 +119,28 @@ final class GraphPartitions(
       }
       i += 1
     }
-    if (touched == null) return bins(math.max(only, 0)).value
+    if (touched == null) return bins(math.max(only, 0)).get
+    GraphPartitions.merged(this, touched)
+  }
+
+  /** Resolve from candidate-carried bin tags (negative = untagged). */
+  def resolveByBinIds(binIds: Array[Int]): CompactGraph = {
+    if (bins.length == 1) return bins(0).get
+    var touched: java.util.TreeSet[Integer] = null
+    var only = -1
+    var i = 0
+    while (i < binIds.length) {
+      val bi = binIds(i)
+      if (bi >= 0) {
+        if (only == -1) only = bi
+        else if (bi != only && touched == null) {
+          touched = new java.util.TreeSet[Integer]()
+          touched.add(only); touched.add(bi)
+        } else if (touched != null) touched.add(bi)
+      }
+      i += 1
+    }
+    if (touched == null) return bins(math.max(only, 0)).get
     GraphPartitions.merged(this, touched)
   }
 }
@@ -84,11 +168,11 @@ object GraphPartitions {
     MergedResolves.increment()
     import scala.jdk.CollectionConverters._
     val binIdx = touched.asScala.toArray.map(_.intValue())
-    val mergeCache = HopCache.gen(parts.bins(0).value.epoch).merged
-    val key = binIdx.map(b => parts.bins(b).value.token).mkString(",")
+    val mergeCache = HopCache.gen(parts.bins(0).get.epoch).merged
+    val key = binIdx.map(b => parts.bins(b).get.token).mkString(",")
     val cached = mergeCache.get(key)
     if (cached != null) return cached
-    val g = CompactGraph.concat(binIdx.toSeq.map(b => parts.bins(b).value))
+    val g = CompactGraph.concat(binIdx.toSeq.map(b => parts.bins(b).get))
     if (mergeCache.size < MaxMerged) mergeCache.putIfAbsent(key, g)
     val again = mergeCache.get(key)
     if (again != null) again else g
@@ -96,8 +180,16 @@ object GraphPartitions {
 
   /** Trivial single-bin partitioning (reuses the graph instance). */
   def single(spark: SparkSession, graph: CompactGraph): GraphPartitions =
-    new GraphPartitions(Array(spark.sparkContext.broadcast(graph)),
+    new GraphPartitions(Array(BroadcastBin(spark.sparkContext.broadcast(graph))),
       spark.sparkContext.broadcast(new java.util.HashMap[Long, java.lang.Integer]()))
+
+  /** File-backed partitioning over executor-built bins (DistGraphBuild):
+    * the driver holds only paths. Candidates must carry bin tags. */
+  def fromFiles(spark: SparkSession, binPaths: Seq[String],
+                epoch: Long): GraphPartitions =
+    new GraphPartitions(binPaths.map(p => FileBin(p, epoch): BinHandle).toArray,
+      spark.sparkContext.broadcast(new java.util.HashMap[Long, java.lang.Integer]()),
+      fileMode = true)
 
   /** Pack components into bins and broadcast each. Deterministic: comps
     * ordered by (size desc, label), big comps own a bin, small ones fill
@@ -146,8 +238,8 @@ object GraphPartitions {
     }
     val bins = binComps.indices.map { b =>
       val cs = binComps(b).toSet
-      spark.sparkContext.broadcast(
-        CompactGraph.subset(graph, i => cs.contains(graph.compOfEdge(i))))
+      BroadcastBin(spark.sparkContext.broadcast(
+        CompactGraph.subset(graph, i => cs.contains(graph.compOfEdge(i))))): BinHandle
     }.toArray
     new GraphPartitions(bins, spark.sparkContext.broadcast(binOfEdgeMap))
   }

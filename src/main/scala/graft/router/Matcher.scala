@@ -195,7 +195,14 @@ object Matcher {
   case class MatchResult(shapes: DataFrame, anchors: DataFrame, hops: DataFrame)
 
   def matchTripsFull(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
-                     graph: CompactGraph, cfg: OsmConfig): MatchResult = {
+                     graph: CompactGraph, cfg: OsmConfig): MatchResult =
+    matchTripsFull(spark, tripStops, cands, GraphPartitions.build(spark, graph), cfg)
+
+  /** Partitioned/file-mode variant: no driver-resident full graph needed —
+    * `parts` may be file-backed (DistGraphBuild), in which case `cands`
+    * must carry bin tags (DistGraphBuild.tagCands). */
+  def matchTripsFull(spark: SparkSession, tripStops: DataFrame, cands: DataFrame,
+                     parts: GraphPartitions, cfg: OsmConfig): MatchResult = {
     import spark.implicits._
     // Two slim materializations instead of one heavy one: the old flow
     // checkpointed the per-TRIP keyed table (every trip's stops array =
@@ -214,7 +221,7 @@ object Matcher {
     // logical lineage here keeps every downstream plan shallow (deep
     // lineage made AQE's per-update plan stringification quadratic)
     val solved = checkpointSer(solveSeqs(spark, distinctSeqs,
-      cands, GraphPartitions.build(spark, graph), cfg))
+      cands, parts, cfg))
 
     // join back ONCE, LAZILY: the solved table carries the heavy
     // per-sequence payload (points/anchors/hops arrays); joining it
@@ -475,16 +482,21 @@ object Matcher {
     // payload amplification = most of the match stage's executor time —
     // encoder deserialization of tens of millions of duplicate structs).
     // This is still a JOIN distribution, never a driver collect.
+    // candidates may carry a bin tag (file-mode partitions: DistGraphBuild
+    // .tagCands) — the solver resolves its graph from the tags, because no
+    // edge->bin broadcast map exists when bins were built executor-side
+    val binCol = if (cands.columns.contains("bin")) col("bin").cast("int")
+                 else lit(-1)
     val clusterCands = saltedKeys
       .join(distinctSeqs.select($"seq_key",
         explode(expr("transform(stops, s -> s.stop_id)")).as("stop_id")), Seq("seq_key"))
       .select($"c_line", $"c_stop", $"salt", $"stop_id").distinct()
       .join(cands.select($"stop_id", $"edge_id", $"progr", $"pen10",
-        $"py", $"px", $"oneway"), Seq("stop_id"))
+        $"py", $"px", $"oneway", binCol.as("bin")), Seq("stop_id"))
       .select($"c_line", $"c_stop", $"salt", $"stop_id", $"edge_id",
-        $"progr", $"pen10", $"py", $"px", $"oneway")
-      .as[(String, String, Int, String, Long, Double, Long, Double, Double, Int)]
-      .groupByKey { case (line, stop0, salt, _, _, _, _, _, _, _) => (line, stop0, salt) }
+        $"progr", $"pen10", $"py", $"px", $"oneway", $"bin")
+      .as[(String, String, Int, String, Long, Double, Long, Double, Double, Int, Int)]
+      .groupByKey { case (line, stop0, salt, _, _, _, _, _, _, _, _) => (line, stop0, salt) }
 
     // cogroup: a sequence whose stops ALL lack candidates still arrives
     // (with an empty candidate side) and is solved via the null-candidate
@@ -492,7 +504,7 @@ object Matcher {
     seqsDs.cogroup(clusterCands) {
       (key: (String, String, Int),
        seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS], String, Seq[String])],
-       candIt: Iterator[(String, String, Int, String, Long, Double, Long, Double, Double, Int)]) =>
+       candIt: Iterator[(String, String, Int, String, Long, Double, Long, Double, Double, Int, Int)]) =>
         val line = key._1
         val candArr = candIt.toArray
         val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
@@ -500,7 +512,8 @@ object Matcher {
             k -> v.map(c => (c._5, c._6, c._7, c._8, c._9, c._10))
           }
         // only the graph bins this cluster's candidates touch are fetched
-        val g = parts.resolve(candArr.map(_._5))
+        val g = if (parts.fileMode) parts.resolveByBinIds(candArr.map(_._11))
+                else parts.resolve(candArr.map(_._5))
         val rows = seqIt.toArray
         // G2 routing attrs of this cluster: one lineFrom (same first stop
         // by construction), the PHYSICAL cluster's full lineTo set (shared

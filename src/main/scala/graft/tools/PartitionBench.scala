@@ -55,7 +55,7 @@ object PartitionBench {
     val parts = GraphPartitions.build(spark, graph,
       minBinEdges = math.max(64, graph.numEdges / (4 * cities)))
     val fullBytes = serializedBytes(graph)
-    val binBytes = parts.bins.map(b => serializedBytes(b.value))
+    val binBytes = parts.bins.map(b => serializedBytes(b.get))
     val idxBytes = serializedBytes(parts.binOfEdge.value)
 
     def trips(p: GraphPartitions): Long = {

@@ -28,7 +28,7 @@ class PartitionSpec extends AnyFunSuite {
     assert(comps.length == 3) // 25 km gaps: one routing component per city
     assert(parts.bins.length == 3)
     // bins partition the edge set exactly, ids stay global
-    val binIds = parts.bins.map(_.value.edgeIds.toSet)
+    val binIds = parts.bins.map(_.get.edgeIds.toSet)
     assert(binIds.map(_.size).sum == graph.numEdges)
     assert(binIds.reduce(_ ++ _) == graph.edgeIds.toSet)
   }
@@ -38,18 +38,18 @@ class PartitionSpec extends AnyFunSuite {
     assert(all.edgeIds.sameElements(graph.edgeIds))
     assert(all.rawRestrictions.toSet == graph.rawRestrictions.toSet)
     parts.bins.foreach { b =>
-      val g = b.value
+      val g = b.get
       assert(g.edgeIds.sameElements(g.edgeIds.sorted)) // ascending global ids
       // restrictions land in the bin holding their via node
       g.rawRestrictions.foreach(r => assert(g.nodeIndex.containsKey(r._1)))
     }
-    assert(parts.bins.map(_.value.rawRestrictions.length).sum ==
+    assert(parts.bins.map(_.get.rawRestrictions.length).sum ==
       graph.rawRestrictions.length)
   }
 
   test("resolve: single bin for one city's edges, merged for cross-bin sets") {
-    val bin0 = parts.bins(0).value
-    val bin1 = parts.bins(1).value
+    val bin0 = parts.bins(0).get
+    val bin1 = parts.bins(1).get
     assert(parts.resolve(bin0.edgeIds.take(5)) eq bin0)
     assert(parts.resolve(Array.empty[Long]) eq bin0) // null-cand cluster
     assert(parts.resolve(Array(-1L)) eq bin0)        // unknown ids ignored
