@@ -246,12 +246,23 @@ object GraphBuilder {
                   cfgs: Seq[(String, OsmConfig)]): Map[String, GraphTables] = {
     import spark.implicits._
     val merged = OsmConfig.mergeForGraph(cfgs.map(_._2))
-    val nodes = pruneTags(osmNodesRaw, merged)
-      .filter($"lat" >= bbox.latMin && $"lat" <= bbox.latMax &&
-              $"lon" >= bbox.lonMin && $"lon" <= bbox.lonMax)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val ways = pruneTags(osmWaysRaw, merged)
       .filter(tagMatches($"tags", merged.keepWays))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // shared node checkpoint restricted to nodes any MOT build can touch:
+    // members of the union-kept ways (edge geometry) plus nodes with a
+    // surviving tag (station/blocker/turn-cycle/nohup rules all match on
+    // tags, which pruneTags already projected to the merged key set). At
+    // continental scale the bbox alone kept billions of geometry nodes of
+    // DROPPED ways in the materialization; this semi-join cuts the shared
+    // checkpoint to what downstream joins can actually reach.
+    val bboxN = pruneTags(osmNodesRaw, merged)
+      .filter($"lat" >= bbox.latMin && $"lat" <= bbox.latMax &&
+              $"lon" >= bbox.lonMin && $"lon" <= bbox.lonMax)
+    val wayMembers = ways.select(explode($"nodes").as("id")).distinct()
+    val nodes = bboxN.filter($"tags".isNotNull && size($"tags") > 0)
+      .unionByName(bboxN.filter($"tags".isNull || size($"tags") === 0)
+        .join(wayMembers, Seq("id"), "left_semi"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     cfgs.map { case (name, cfg) =>
       name -> build(spark, nodes, ways, osmRels, bbox, cfg)

@@ -441,7 +441,11 @@ object Matcher {
     // any group).
     // clCounts is one row per cluster and broadcast-joined below anyway;
     // collecting it once yields the total without recomputing the dedup
-    // subtree for a second action
+    // subtree for a second action. CEILING: one row per (line, first-stop)
+    // cluster — bounded by the feed's route topology, not by trips; a
+    // whole-planet GTFS aggregate is ~10^5-10^6 clusters (few MB), so
+    // this collect never becomes the driver bottleneck the edge tables
+    // were (those now stay distributed, DistGraphBuild)
     val clRows = clCounts.collect()
     val totalSeqs = clRows.iterator.map(_.getLong(2)).sum
     val clLocal = spark.createDataFrame(

@@ -14,6 +14,18 @@ import graft.geo.Geo
   *    with the reference's time expansion disabled, timeExpand loops once,
   *    ShapeBuilder.cpp:845-860 — plus the dwell time penalty timePen,
   *    ShapeBuilder.cpp:835-843);
+  *  - time expansion parity note: in the reference's DEFAULT config the
+  *    timeEx retry (ShapeBuilder.cpp:845-860, with TripTrie.tpp:190-204
+  *    requiring equal RELATIVE node times when enabled) loops exactly
+  *    once with expansion off — which is what this solver implements:
+  *    interior nodes average times across member sequences (W4), leaves
+  *    are time-exact because the cluster key hashes the full relative
+  *    arr/dep lattice (Matcher.tripStopsWithKey — trips differing in any
+  *    relative time never share a seq_key). The timeEx=on variant (split
+  *    tries until interior nodes are time-exact too) would correspond to
+  *    keying tries by the full lattice instead of (line, first stop) —
+  *    trading all prefix sharing for exactness the emission model rarely
+  *    needs; not implemented, matching upstream defaults;
   *  - backtrace per leaf skipping in-node hops: Router.tpp:200-283.
   *
   * Sequences sharing a stop-sequence prefix relax each shared layer ONCE —
