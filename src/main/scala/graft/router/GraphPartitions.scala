@@ -94,6 +94,17 @@ final class GraphPartitions(
     val fileMode: Boolean = false)
   extends Serializable {
 
+  /** optional measurement hook: when set (LocalityProbe), every bin a
+    * solver task touches is recorded as (executorId, binIdx) — the
+    * fetched-bins-per-executor evidence for the bin-block placement */
+  var touchAcc: org.apache.spark.util.CollectionAccumulator[(String, Int)] = null
+
+  private def touched(binIdx: Int): Unit =
+    if (touchAcc != null) {
+      val env = org.apache.spark.SparkEnv.get
+      touchAcc.add(((if (env == null) "driver" else env.executorId), binIdx))
+    }
+
   /** The graph a cluster with these candidate edges must route over: the
     * single touched bin in the common case, a memoized merge when the
     * candidates span bins (e.g. top-K snaps hitting a disconnected
@@ -125,23 +136,28 @@ final class GraphPartitions(
 
   /** Resolve from candidate-carried bin tags (negative = untagged). */
   def resolveByBinIds(binIds: Array[Int]): CompactGraph = {
-    if (bins.length == 1) return bins(0).get
-    var touched: java.util.TreeSet[Integer] = null
+    if (bins.length == 1) { touched(0); return bins(0).get }
+    var multi: java.util.TreeSet[Integer] = null
     var only = -1
     var i = 0
     while (i < binIds.length) {
       val bi = binIds(i)
       if (bi >= 0) {
         if (only == -1) only = bi
-        else if (bi != only && touched == null) {
-          touched = new java.util.TreeSet[Integer]()
-          touched.add(only); touched.add(bi)
-        } else if (touched != null) touched.add(bi)
+        else if (bi != only && multi == null) {
+          multi = new java.util.TreeSet[Integer]()
+          multi.add(only); multi.add(bi)
+        } else if (multi != null) multi.add(bi)
       }
       i += 1
     }
-    if (touched == null) return bins(math.max(only, 0)).get
-    GraphPartitions.merged(this, touched)
+    if (multi == null) {
+      val b = math.max(only, 0)
+      touched(b)
+      return bins(b).get
+    }
+    multi.forEach(b => touched(b.intValue()))
+    GraphPartitions.merged(this, multi)
   }
 }
 

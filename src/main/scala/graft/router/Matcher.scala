@@ -471,13 +471,12 @@ object Matcher {
         Seq("seq_key"))
       .groupBy($"c_line", $"c_stop")
       .agg(sort_array(collect_set($"tn")).as("cl_to_names"))
-    val seqsDs = distinctSeqs.join(saltedKeys, Seq("seq_key"))
+    val seqRows = distinctSeqs.join(saltedKeys, Seq("seq_key"))
       .join(broadcast(clToNames), Seq("c_line", "c_stop"))
       .select($"c_line", $"c_stop", $"salt", $"seq_key", $"stops",
         coalesce($"from_name", lit("")).as("from_name"),
         $"cl_to_names")
       .as[(String, String, Int, String, Seq[Matcher.TS], String, Seq[String])]
-      .groupByKey { case (line, stop0, salt, _, _, _, _) => (line, stop0, salt) }
 
     // Candidates are shipped ONCE PER CLUSTER via cogroup, not once per
     // sequence: the member sequences of a cluster share (almost all of)
@@ -489,9 +488,9 @@ object Matcher {
     // candidates may carry a bin tag (file-mode partitions: DistGraphBuild
     // .tagCands) — the solver resolves its graph from the tags, because no
     // edge->bin broadcast map exists when bins were built executor-side
-    val binCol = if (cands.columns.contains("bin")) col("bin").cast("int")
-                 else lit(-1)
-    val clusterCands = saltedKeys
+    val hasBin = cands.columns.contains("bin")
+    val binCol = if (hasBin) col("bin").cast("int") else lit(-1)
+    val candRows = saltedKeys
       .join(distinctSeqs.select($"seq_key",
         explode(expr("transform(stops, s -> s.stop_id)")).as("stop_id")), Seq("seq_key"))
       .select($"c_line", $"c_stop", $"salt", $"stop_id").distinct()
@@ -500,34 +499,118 @@ object Matcher {
       .select($"c_line", $"c_stop", $"salt", $"stop_id", $"edge_id",
         $"progr", $"pen10", $"py", $"px", $"oneway", $"bin")
       .as[(String, String, Int, String, Long, Double, Long, Double, Double, Int, Int)]
-      .groupByKey { case (line, stop0, salt, _, _, _, _, _, _, _, _) => (line, stop0, salt) }
 
-    // cogroup: a sequence whose stops ALL lack candidates still arrives
-    // (with an empty candidate side) and is solved via the null-candidate
-    // fallback, never silently dropped.
-    seqsDs.cogroup(clusterCands) {
-      (key: (String, String, Int),
-       seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS], String, Seq[String])],
-       candIt: Iterator[(String, String, Int, String, Long, Double, Long, Double, Double, Int, Int)]) =>
-        val line = key._1
-        val candArr = candIt.toArray
-        val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
-          candArr.groupBy(_._4).map { case (k, v) =>
-            k -> v.map(c => (c._5, c._6, c._7, c._8, c._9, c._10))
-          }
-        // only the graph bins this cluster's candidates touch are fetched
-        val g = if (parts.fileMode) parts.resolveByBinIds(candArr.map(_._11))
-                else parts.resolve(candArr.map(_._5))
-        val rows = seqIt.toArray
-        // G2 routing attrs of this cluster: one lineFrom (same first stop
-        // by construction), the PHYSICAL cluster's full lineTo set (shared
-        // across salted sub-groups — one RoutingAttrs identity per cluster)
-        val fromName = rows.headOption.map(_._6).getOrElse("")
-        val toNames = rows.headOption.map(_._7.toArray).getOrElse(Array.empty[String])
-        MatcherKernel.solveCluster(line, fromName, toNames,
-          rows.map(r => (r._4, r._5.toArray)), g, candMap,
-          cfgB.value).iterator
-    }.toDF()
+    def solveGroup(key: (String, String, Int),
+                   rows: Array[(String, String, Int, String, Seq[Matcher.TS], String, Seq[String])],
+                   candArr: Array[(String, String, Int, String, Long, Double, Long, Double, Double, Int, Int)]):
+        Iterator[SolvedSeq] = {
+      val line = key._1
+      val candMap: Map[String, Array[(Long, Double, Long, Double, Double, Int)]] =
+        candArr.groupBy(_._4).map { case (k, v) =>
+          k -> v.map(c => (c._5, c._6, c._7, c._8, c._9, c._10))
+        }
+      // only the graph bins this cluster's candidates touch are fetched
+      val g = if (parts.fileMode) parts.resolveByBinIds(candArr.map(_._11))
+              else parts.resolve(candArr.map(_._5))
+      // G2 routing attrs of this cluster: one lineFrom (same first stop
+      // by construction), the PHYSICAL cluster's full lineTo set (shared
+      // across salted sub-groups — one RoutingAttrs identity per cluster)
+      val fromName = rows.headOption.map(_._6).getOrElse("")
+      val toNames = rows.headOption.map(_._7.toArray).getOrElse(Array.empty[String])
+      MatcherKernel.solveCluster(line, fromName, toNames,
+        rows.map(r => (r._4, r._5.toArray)), g, candMap,
+        cfgB.value).iterator
+    }
+
+    // BIN-AWARE LOCALITY (multi-bin partitionings with tagged candidates):
+    // the default hash shuffle scatters every bin's solver groups across
+    // every executor, so each executor ends up fetching nearly every bin.
+    // Here same-bin groups are routed into a contiguous partition block
+    // sized by the bin's GROUP count (work-proportional, so a dominant
+    // bin keeps its parallelism) — an executor then holds tasks of few
+    // distinct bins and its fetched-bin bytes approach its bins' sizes
+    // instead of the whole graph. Keys are unchanged; only placement
+    // differs, so results are partitioner-invariant.
+    val useLocality = hasBin && parts.bins.length > 1 && !BinLocalityDisabled
+    if (!useLocality) {
+      val seqsDs = seqRows
+        .groupByKey { case (line, stop0, salt, _, _, _, _) => (line, stop0, salt) }
+      val clusterCands = candRows
+        .groupByKey { case (line, stop0, salt, _, _, _, _, _, _, _, _) => (line, stop0, salt) }
+      // cogroup: a sequence whose stops ALL lack candidates still arrives
+      // (with an empty candidate side) and is solved via the null-candidate
+      // fallback, never silently dropped.
+      seqsDs.cogroup(clusterCands) {
+        (key: (String, String, Int),
+         seqIt: Iterator[(String, String, Int, String, Seq[Matcher.TS], String, Seq[String])],
+         candIt: Iterator[(String, String, Int, String, Long, Double, Long, Double, Double, Int, Int)]) =>
+          solveGroup(key, seqIt.toArray, candIt.toArray)
+      }.toDF()
+    } else {
+      // primary bin per solver group (max: an untagged -1 loses to any
+      // real bin); one row per GROUP — same bounded cardinality as clRows
+      val groupBin = candRows
+        .groupByKey { case (line, stop0, salt, _, _, _, _, _, _, _, _) => (line, stop0, salt) }
+        .mapValues(_._11).mapGroups((k, vs) => (k, vs.max))
+        .collect().toMap
+      // FEW, FAT partitions (≈ one per bin, floor = core count): Spark
+      // hands tasks to executors by slot availability, so a bin spread
+      // over many small partitions reaches many executors no matter how
+      // contiguously the blocks are laid out. With ~1 partition per bin
+      // an executor fetches one bin per partition it takes, so its
+      // distinct-bin count equals its partition count (~P/executors).
+      // The floor keeps task count >= cores; the group-count weighting
+      // below still grants a dominant bin multiple partitions, so its
+      // work parallelizes even though those partitions then reach more
+      // executors (unavoidable: spread work means spread data).
+      val nPartitions = math.max(spark.sparkContext.defaultParallelism,
+        parts.bins.length)
+      val groupsPerBin = groupBin.values.filter(_ >= 0)
+        .groupBy(identity).map { case (b, xs) => (b, xs.size) }
+      val p = new BinBlockPartitioner(nPartitions, parts.bins.length,
+        spark.sparkContext.broadcast(groupBin), groupsPerBin)
+      val seqRdd = seqRows.rdd
+        .map(r => ((r._1, r._2, r._3), r))
+      val candRdd = candRows.rdd
+        .map(r => ((r._1, r._2, r._3), r))
+      val solvedRdd = seqRdd.cogroup(candRdd, p).flatMap {
+        case (key, (seqs, cs)) =>
+          if (seqs.isEmpty) Iterator.empty
+          else solveGroup(key, seqs.toArray, cs.toArray)
+      }
+      spark.createDataset(solvedRdd).toDF()
+    }
+  }
+
+  /** Routes each solver group into the contiguous partition block of its
+    * bin; block widths are proportional to the bin's group count (at least
+    * 1). Groups without a bin hash over the whole range. A pure function
+    * of the key via the broadcast group->bin map, so both cogroup sides
+    * partition identically. */
+  final class BinBlockPartitioner(
+      val numPartitions: Int, nBins: Int,
+      groupBin: org.apache.spark.broadcast.Broadcast[Map[(String, String, Int), Int]],
+      groupsPerBin: Map[Int, Int]) extends org.apache.spark.Partitioner {
+    private val starts = new Array[Int](nBins)
+    private val lens = new Array[Int](nBins)
+    locally {
+      val total = math.max(1, groupsPerBin.values.sum)
+      var at = 0
+      (0 until nBins).foreach { b =>
+        val share = groupsPerBin.getOrElse(b, 0)
+        val len = math.max(1, (share.toLong * numPartitions / total).toInt)
+        starts(b) = at % numPartitions
+        lens(b) = math.min(len, numPartitions)
+        at += lens(b)
+      }
+    }
+    private def mod(h: Int, m: Int): Int = { val r = h % m; if (r < 0) r + m else r }
+    def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[(String, String, Int)]
+      val bin = groupBin.value.getOrElse(k, -1)
+      if (bin < 0 || bin >= nBins) mod(k.hashCode, numPartitions)
+      else (starts(bin) + mod((k._1, k._2).hashCode + k._3, lens(bin))) % numPartitions
+    }
   }
 
   /** Cap on distinct sequences per solver task (the salting grain). Small
@@ -548,6 +631,11 @@ object Matcher {
     * large level's natural value for both. */
   @volatile var TargetGroupsOverride: Option[Long] =
     sys.env.get("SPARK_GRAFT_TARGET_GROUPS").map(_.toLong)
+
+  /** disable the bin-block solver placement (A/B lever for the locality
+    * evidence in PartitionBench/LocalityProbe) */
+  @volatile var BinLocalityDisabled: Boolean =
+    sys.env.contains("SPARK_GRAFT_NO_BIN_LOCALITY")
 }
 
 /** The per-sequence solve: candidate expansion to directed edges, Viterbi,
