@@ -664,14 +664,18 @@ object ScalingBench {
          |""".stripMargin
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
-    // host-capacity context (CpuProbe main writes BENCH/cpuprobe.md): the
-    // measured ceiling any parallel code reaches on this box — appended so
-    // the efficiency numbers above are read against it
+    // hand-written root-cause / architecture analysis lives in
+    // BENCH/ANALYSIS.md so a regeneration can never destroy it (the r5
+    // run overwrote four committed analysis sections before this existed);
+    // host-capacity context (CpuProbe writes BENCH/cpuprobe.md) appended
+    // last so the efficiency numbers are read against the measured ceiling
+    val analysis = dir.resolve("ANALYSIS.md")
     val probe = dir.resolve("cpuprobe.md")
-    val mdFull =
-      if (java.nio.file.Files.exists(probe))
-        md + "\n" + java.nio.file.Files.readString(probe)
-      else md
+    val mdFull = md +
+      (if (java.nio.file.Files.exists(analysis))
+        "\n" + java.nio.file.Files.readString(analysis) else "") +
+      (if (java.nio.file.Files.exists(probe))
+        "\n" + java.nio.file.Files.readString(probe) else "")
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), mdFull)
     println(md)
     val valid = eff <= 1.05 && kEff <= 1.05
