@@ -269,6 +269,36 @@ object PipelineQueries {
       val nNoSegs = a.scores.filter($"n_segs" <= 0).count()
       Seq((nRangeBad, nNoSegs)).toDF("n_range_bad", "n_no_segs")
     }),
+    // distributed-vs-driver graph construction parity (the r5 scale
+    // path): the per-bin executor-side build (DistGraphBuild — CC, snap
+    // cogroup, file-backed bins) must produce exactly the refined edge
+    // and station tables of the sequential driver pass on a multi-
+    // component world. Row-set differences in either direction are
+    // violations; the oracle constant is zero.
+    "q_inv_dist_build" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val cfg = OsmConfig.bus
+      val world = SyntheticWorld.buildMulti(cities = 3, rows = 8, cols = 12)
+      val t = WorldTables(s, world)
+      val bbox = GraphBuilder.feedBBox(t.stops).pad(cfg.bboxPaddingM)
+      val gt = GraphBuilder.build(s, t.osmNodes, t.osmWays, t.osmRels, bbox, cfg)
+      val driver = graft.osm.StationSnap.refine(s, gt, cfg, gt.blockers)._1
+      val binDir = java.nio.file.Files.createTempDirectory("invbins").toString
+      val dist = graft.router.DistGraphBuild.build(s, gt, cfg, binDir,
+        minBinEdges = 1, maxBins = 8)
+      def eSig(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat_ws("|", $"edge_id", $"way_id", $"from_id", $"to_id",
+          round($"len_m", 6), $"cost10", $"lvl", $"oneway", to_json($"geom"))
+          .as("sig"))
+      def sSig(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat_ws("|", $"node_id", round($"lat", 9), round($"lon", 9),
+          coalesce($"name", lit("")), coalesce($"track", lit(""))).as("sig"))
+      val de = eSig(driver.edges); val xe = eSig(dist.edges)
+      val ds = sSig(driver.stations); val xs = sSig(dist.stations)
+      val nEdgeDiff = de.exceptAll(xe).count() + xe.exceptAll(de).count()
+      val nStationDiff = ds.exceptAll(xs).count() + xs.exceptAll(ds).count()
+      Seq((nEdgeDiff, nStationDiff)).toDF("n_edge_diff", "n_station_diff")
+    }),
     // q_tile_verify: the input_hint per-row invariant — every image row
     // verifies (PSNR/phash/caption) and none is skipped
     "q_inv_verify" -> ((s: SparkSession, _: String) => {
@@ -293,5 +323,7 @@ object PipelineQueries {
     "q_inv_scores" ->
       "SELECT CAST(0 AS BIGINT) AS n_range_bad, CAST(0 AS BIGINT) AS n_no_segs",
     "q_inv_verify" ->
-      "SELECT CAST(0 AS BIGINT) AS n_fail, CAST(0 AS BIGINT) AS n_skipped")
+      "SELECT CAST(0 AS BIGINT) AS n_fail, CAST(0 AS BIGINT) AS n_skipped",
+    "q_inv_dist_build" ->
+      "SELECT CAST(0 AS BIGINT) AS n_edge_diff, CAST(0 AS BIGINT) AS n_station_diff")
 }

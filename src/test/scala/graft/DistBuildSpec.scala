@@ -66,6 +66,28 @@ class DistBuildSpec extends AnyFunSuite {
     }
   }
 
+  test("two builds sharing a binDir never cross-serve cached bins") {
+    // regression: FileBin's per-JVM cache is keyed by path; before bin
+    // paths embedded the build epoch, the bench warm-up world's bin file
+    // got cache-served to the main world's solvers (observed live as a
+    // 40x iteration drop + wrong tile counts)
+    val worldB = SyntheticWorld.buildMulti(cities = 2, rows = 8, cols = 12)
+    val tB = WorldTables(spark, worldB)
+    val bboxB = GraphBuilder.feedBBox(tB.stops).pad(cfg.bboxPaddingM)
+    val gtB = GraphBuilder.build(spark, tB.osmNodes, tB.osmWays, tB.osmRels,
+      bboxB, cfg)
+    val first = dist // world A, already built into binDir
+    val second = DistGraphBuild.build(spark, gtB, cfg, binDir,
+      minBinEdges = 1, maxBins = 8)
+    val graphB = CompactGraph.fromEdges(
+      StationSnap.refine(spark, gtB, cfg, gtB.blockers)._1.edges,
+      gtB.restrictions, gtB.wayLines, gtB.transitLines, gtB.turnCycles)
+    val gotB = second.parts.bins.map(_.get.edgeIds.toSet).reduce(_ ++ _)
+    assert(gotB == graphB.edgeIds.toSet) // world B's graph, not A's
+    val gotA = first.parts.bins.map(_.get.edgeIds.toSet).reduce(_ ++ _)
+    assert(gotA != gotB) // and A's handles still serve A
+  }
+
   test("solve over file-backed bins equals the full-broadcast solve") {
     val cands = DistGraphBuild.tagCands(
       Matcher.buildCandsWithStations(spark, t.stops, dist.edges,
