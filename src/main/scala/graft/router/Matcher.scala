@@ -238,10 +238,13 @@ object Matcher {
     // geometry materialization (same haversine running sum the window
     // computed — without a 10^7-row sort).
     val joined = seqKeys.join(solved, Seq("seq_key"))
+    // arrays_zip at EXPLODE time only — the structs exist transiently in
+    // codegen; the shuffled/checkpointed payload stays flat primitives
     val shapes = joined
-      .select($"trip_id".as("shape_id"), explode($"points").as("pt"))
-      .select($"shape_id", $"pt.seq".as("seq"), $"pt.lat".as("lat"), $"pt.lng".as("lng"),
-        $"pt.dist".cast("float").as("travel_dist"))
+      .select($"trip_id".as("shape_id"),
+        posexplode(arrays_zip($"lats", $"lngs", $"dists")).as(Seq("seq", "z")))
+      .select($"shape_id", $"seq", $"z.lats".as("lat"), $"z.lngs".as("lng"),
+        $"z.dists".as("travel_dist"))
     val anchors = joined
       .select($"trip_id", posexplode($"anchors").as(Seq("stop_idx", "point_seq")))
     val hops = joined
@@ -344,16 +347,22 @@ object Matcher {
     (seqKeys, distinctSeqs)
   }
 
-  /** dist = cumulative haversine meters along the (simplified) shape —
-    * the W2 measure, accumulated at materialization */
-  case class ShapePoint(seq: Int, lat: Double, lng: Double, dist: Double)
   case class HopRow(hop_idx: Int, edge_ids: Array[Long], reachable: Boolean)
   /** one snap candidate row as shipped to the kernel (encoder-compatible) */
   case class CandRow(stop_id: String, edge_id: Long, progr: Double,
                      pen10: Long, py: Double, px: Double, oneway: Int)
-  /** anchors: index into points of each stop's snap position (used to write
-    * per-stop shape_dist_traveled, the eval's cut anchors). */
-  case class SolvedSeq(seq_key: String, points: Array[ShapePoint],
+  /** The solved-shape payload is three FLAT primitive arrays (parallel by
+    * point index; dists = the W2 cumulative haversine measure, accumulated
+    * at materialization, stored at the float precision the output schema
+    * carries) rather than an array of per-point structs: this payload
+    * crosses the solve-cogroup shuffle, a serialized checkpoint and the
+    * seq_key join-back, and struct-per-point arrays paid a Tungsten
+    * offset+null-word per POINT on every hop (measured: the match phase
+    * spends most of its executor time outside the kernel, in exactly this
+    * serialization). anchors = index into the point arrays of each stop's
+    * snap position (per-stop shape_dist_traveled, the eval's cut anchors). */
+  case class SolvedSeq(seq_key: String, lats: Array[Double],
+                       lngs: Array[Double], dists: Array[Float],
                        anchors: Array[Int], hops: Array[HopRow],
                        n_hops: Int, n_unroutable: Int, cost10: Long)
   /** ordered stop row inside a sequence (encoder-compatible field names) */
@@ -641,7 +650,7 @@ object Matcher {
 /** The per-sequence solve: candidate expansion to directed edges, Viterbi,
   * geometry materialization. Pure Scala on broadcast data. */
 object MatcherKernel {
-  import Matcher.{ShapePoint, SolvedSeq}
+  import Matcher.SolvedSeq
 
   /** cumulative kernel nanos + solve count + solver task(group) count
     * (perf diagnostics — groups is the salted-task parallelism evidence).
@@ -892,11 +901,11 @@ object MatcherKernel {
         TrieNanos.add(System.nanoTime() - ts0)
         leaves.flatMap { lr =>
           val tm0 = System.nanoTime()
-          val (ptsArr, anchors, hopRows, unroutable) =
+          val (lats, lngs, dists, anchors, hopRows, unroutable) =
             materialize(g, cfg, lr.layers, lr.res)
           MatNanos.add(System.nanoTime() - tm0)
-          lr.seqKeys.map(k => SolvedSeq(k, ptsArr, anchors, hopRows,
-            lr.res.hops.length, unroutable, lr.res.totalCost10))
+          lr.seqKeys.map(k => SolvedSeq(k, lats, lngs, dists, anchors,
+            hopRows, lr.res.hops.length, unroutable, lr.res.totalCost10))
         }
       }
       singles ++ solved
@@ -949,8 +958,9 @@ object MatcherKernel {
       transitionPenalty = p.transitionPenalty, transModel = p.transModel,
       cutoffFactor = p.cutoffFactor, cacheCtx = p.cacheCtx)
 
-    val (ptsArr, anchors, hopRows, unroutable) = materialize(g, cfg, layers, res)
-    SolvedSeq(seqKey, ptsArr, anchors, hopRows,
+    val (lats, lngs, dists, anchors, hopRows, unroutable) =
+      materialize(g, cfg, layers, res)
+    SolvedSeq(seqKey, lats, lngs, dists, anchors, hopRows,
       res.hops.length, unroutable, res.totalCost10)
   }
 
@@ -961,7 +971,8 @@ object MatcherKernel {
     * per-hop DP keeps the stop anchors exact — hop endpoints survive DP. */
   def materialize(g: CompactGraph, cfg: OsmConfig,
                   layers: Array[Array[Cand]], res: SolveResult):
-      (Array[ShapePoint], Array[Int], Array[Matcher.HopRow], Int) = {
+      (Array[Double], Array[Double], Array[Float], Array[Int],
+       Array[Matcher.HopRow], Int) = {
     // primitive-array scratch: the tuple-based path boxed every geometry
     // point (dirGeom + ArrayBuffer[(Double, Double)]) — the kernel's
     // dominant allocation source, and heap churn is what skews the shared-
@@ -1023,15 +1034,17 @@ object MatcherKernel {
     val hopRows = res.hops.zipWithIndex.map { case (h, i) =>
       Matcher.HopRow(i, h.edges.map(de => g.edgeIds(de >> 1)), h.reachable)
     }
-    val out = new Array[ShapePoint](pts.n)
+    val lats = new Array[Double](pts.n)
+    val lngs = new Array[Double](pts.n)
+    val dists = new Array[Float](pts.n)
     var cum = 0.0
     var pi = 0
     while (pi < pts.n) {
       val la = pts.lat(pi); val lo = pts.lon(pi)
       if (pi > 0) cum += Geo.haversineM(pts.lat(pi - 1), pts.lon(pi - 1), la, lo)
-      out(pi) = ShapePoint(pi, la, lo, cum)
+      lats(pi) = la; lngs(pi) = lo; dists(pi) = cum.toFloat
       pi += 1
     }
-    (out, anchors, hopRows, unroutable)
+    (lats, lngs, dists, anchors, hopRows, unroutable)
   }
 }

@@ -98,7 +98,7 @@ class DistBuildSpec extends AnyFunSuite {
       graft.router.HopCache.clear()
       Matcher.solveKeyedSeqs(spark, keyed, cands, p, cfg)
         .select($"seq_key", $"cost10", $"n_hops", $"n_unroutable",
-          to_json($"points").as("pts"), to_json($"anchors").as("an"))
+          to_json(arrays_zip($"lats", $"lngs", $"dists")).as("pts"), to_json($"anchors").as("an"))
         .collect().map(_.toSeq).sortBy(_.head.toString)
     }
     val viaFiles = run(dist.parts)

@@ -68,7 +68,7 @@ class PartitionSpec extends AnyFunSuite {
       graft.router.HopCache.clear()
       Matcher.solveKeyedSeqs(spark, keyed, cands, p, cfg)
         .select($"seq_key", $"cost10", $"n_hops", $"n_unroutable",
-          to_json($"points").as("pts"), to_json($"anchors").as("an"))
+          to_json(arrays_zip($"lats", $"lngs", $"dists")).as("pts"), to_json($"anchors").as("an"))
         .collect().map(_.toSeq).sortBy(_.head.toString)
     }
     val single = run(GraphPartitions.single(spark, graph))

@@ -69,7 +69,9 @@ class TrieSpec extends AnyFunSuite {
     val out = MatcherKernel.solveCluster("", Array(("a", seqA), ("b", seqB)),
       g, candMap, cfg)
     assert(out.length == 2)
-    assert(out(0).points.toSeq == out(1).points.toSeq) // shared shape
+    assert(out(0).lats.toSeq == out(1).lats.toSeq &&
+      out(0).lngs.toSeq == out(1).lngs.toSeq &&
+      out(0).dists.toSeq == out(1).dists.toSeq) // shared shape
   }
 
   test("dwell penalty: arr->dep in-node transition pays timePen") {
