@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
   * is the scale path for graphs too large to collect. */
 object ConnectedComponents {
 
-  /** edges(a, b) undirected -> (node, comp) with comp = min reachable id. */
+  /** edges(a, b) undirected -> (node, comp) with comp = min reachable id.
+    * Convergence (changed == 0) is guaranteed within maxRounds for
+    * diameters the pointer jumping can halve down in that many rounds;
+    * callers whose CORRECTNESS depends on complete labels (DistGraphBuild:
+    * an under-merged component split across bins silently truncates
+    * routes at the bin boundary) must verify the fixpoint — at it, the
+    * two endpoints of every edge share a label (`assertConverged`). */
   def run(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
     import edges.sparkSession.implicits._
     val sym = edges.select($"a", $"b")
@@ -40,6 +46,18 @@ object ConnectedComponents {
       labels = newLabels
       round += 1
     }
+    sym.unpersist()
     labels
+  }
+
+  /** Fixpoint check: every edge's endpoints carry one label. Returns the
+    * mismatch count (0 = converged; callers with correctness riding on
+    * complete components must require 0). */
+  def endpointMismatches(edges: DataFrame, labels: DataFrame): Long = {
+    import edges.sparkSession.implicits._
+    edges.select($"a", $"b")
+      .join(labels.select($"node".as("a"), $"comp".as("ca")), Seq("a"))
+      .join(labels.select($"node".as("b"), $"comp".as("cb")), Seq("b"))
+      .filter($"ca" =!= $"cb").count()
   }
 }

@@ -104,8 +104,16 @@ object DistGraphBuild {
     import spark.implicits._
 
     // ---- 1. component label per edge (distributed CC), comp -> bin ----
-    val nodeComp = graft.plans.ConnectedComponents.run(
-      gt.edges.select($"from_id".as("a"), $"to_id".as("b")))
+    // maxRounds 64: pointer jumping halves label-chain length per round,
+    // so 64 covers any graph this planet produces; the fixpoint CHECK
+    // below is the actual guarantee — an under-converged labeling would
+    // split one component across bins and silently truncate routes at
+    // the bin boundary, so it must fail loudly instead
+    val edgePairs = gt.edges.select($"from_id".as("a"), $"to_id".as("b"))
+    val nodeComp = graft.plans.ConnectedComponents.run(edgePairs, maxRounds = 64)
+    val nBad = graft.plans.ConnectedComponents.endpointMismatches(edgePairs, nodeComp)
+    require(nBad == 0,
+      s"component labeling did not converge: $nBad edges span two labels")
     val edgeComp = gt.edges.select($"edge_id", $"from_id".as("node"))
       .join(nodeComp, Seq("node"))
       .select($"edge_id", $"comp")

@@ -60,6 +60,29 @@ class PartitionSpec extends AnyFunSuite {
     assert(parts.resolve(Array(bin0.edgeIds(5), bin1.edgeIds(3))) eq m)
   }
 
+  test("BinBlockPartitioner: weighted blocks, in-range, untagged spread") {
+    val keys = for (b <- 0 until 4; c <- 0 until 6; s <- 0 until 8)
+      yield (s"L$b-$c", s"S$c", s)
+    val groupBin = keys.map(k => k -> k._1.drop(1).takeWhile(_ != '-').toInt).toMap
+    val bc = spark.sparkContext.broadcast(groupBin)
+    // bin 0 dominates: 5x the groups of the others
+    val weights = Map(0 -> 50, 1 -> 10, 2 -> 10, 3 -> 10)
+    val p = new Matcher.BinBlockPartitioner(16, 4, bc, weights)
+    val byBin = keys.groupBy(groupBin).map { case (b, ks) =>
+      b -> ks.map(p.getPartition(_: Any)).toSet
+    }
+    // every partition index in range
+    byBin.values.flatten.foreach(i => assert(i >= 0 && i < 16))
+    // the dominant bin gets the widest block; every bin gets >= 1 partition
+    assert(byBin(0).size > byBin(1).size)
+    byBin.foreach { case (_, ps) => assert(ps.nonEmpty) }
+    // a bin's partitions are FEW (its weighted share), not the whole range
+    assert(byBin(1).size <= 3 && byBin(2).size <= 3 && byBin(3).size <= 3)
+    // untagged keys fall back to the full range without throwing
+    val untagged = (0 until 100).map(i => p.getPartition(("zz", s"q$i", i): Any))
+    assert(untagged.forall(i => i >= 0 && i < 16) && untagged.distinct.size > 4)
+  }
+
   test("partitioned match is identical to the full-graph broadcast match") {
     val cands = Matcher.buildCandsWithStations(spark, t.stops, gt.edges,
       gt.stations, cfg).localCheckpoint()
