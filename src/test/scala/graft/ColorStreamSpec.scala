@@ -144,6 +144,68 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("flatMapGroupsWithState sessionize matches the batch answer exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("sessstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batchEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val schema = batchEvents.schema
+
+    // batch oracle: q_sessionize's rule, but materializing every session's
+    // (start, end, n) — not just counts — so boundaries are checked too
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us")
+    val expected = batchEvents
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("prev", lag($"ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"ts_us" - $"prev" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"ts_us").rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id".cast("string"), $"start_us", $"end_us", $"n_events")
+      .collect().map(_.toSeq).toSet
+
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val sessions = graft.streaming.StreamOps.sessionize(stream)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      // sentinel event 2h past the max ts: advances the global watermark
+      // so every open session times out and emits
+      val maxTs = batchEvents.agg(max($"ts".cast("timestamp"))).head()
+        .getTimestamp(0)
+      val sentinel = Seq((-1L, new java.sql.Timestamp(
+        maxTs.getTime + 2 * 3600 * 1000L)))
+        .toDF("user_id", "ts")
+      val aligned = sentinel.select(schema.map { f =>
+        (if (sentinel.columns.contains(f.name)) col(f.name)
+         else lit(null)).cast(f.dataType).as(f.name)
+      }: _*)
+      aligned.coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      // timeouts fire in a no-data micro-batch after the watermark update
+      var got = Set.empty[Seq[Any]]
+      val deadline = System.currentTimeMillis() + 60000
+      while (got != expected && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(250)
+        got = spark.table("sessions")
+          .filter($"user_id" =!= "-1")
+          .select($"user_id", $"start_us", $"end_us", $"n_events")
+          .collect().map(_.toSeq).toSet
+      }
+      assert(got == expected,
+        s"streamed ${got.size} sessions, batch says ${expected.size}; " +
+          s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("structured streaming: watermarked window agg over the events table") {
     // file streaming sources need a DIRECTORY: stage the table into one
     val dir = java.nio.file.Files.createTempDirectory("evstream")
