@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   * input fingerprint, row count, per-partition row counts (lineage +
   * metrics), and timing. A re-run with the same fingerprint SKIPS the
   * stage and reads the snapshot — the analog of the reference's staged
-  * intermediate state, distributed (SURVEY §7.1 checkpoints #1-#3). */
+  * intermediate state, distributed (SURVEY §7.1 checkpoints #1-#3).
+  *
+  * Why not the Iceberg table FORMAT itself: the build environment is
+  * zero-egress with a fixed jar set (no iceberg-spark-runtime), so this
+  * implements the snapshot/manifest/fingerprint SEMANTICS the north rule
+  * asks for on plain parquet + JSON manifests. On a cluster with the
+  * Iceberg runtime, stage() maps 1:1 onto `writeTo(t).createOrReplace`
+  * with a snapshot property carrying the fingerprint, and the skip check
+  * onto reading that property from the current snapshot — the engine
+  * keys on the fingerprint contract, not the storage layout. */
 object Snapshots {
 
   case class Manifest(stage: String, fingerprint: String, rows: Long,

@@ -25,6 +25,16 @@ object StreamOps {
   /** open-session state per user */
   case class OpenSess(startUs: Long, lastUs: Long, n: Long)
 
+  /** Streaming exact dedup over a document stream: first occurrence of
+    * each content hash passes, later ones drop. Composes the built-in
+    * stateful dropDuplicates (preference order: existing op over custom
+    * state); with a watermark column present the state expires like the
+    * sessionizer's. At 10^12 docs the state is one hash per distinct
+    * document within the watermark horizon. */
+  def dedupExact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("content_hash", xxhash64(col(textCol)))
+      .dropDuplicates("content_hash")
+
   /** Gap-based sessionization of an event STREAM. `events` must carry
     * user_id and a ts column castable to timestamp; exactly the batch
     * q_sessionize session rule (new session when silence > gapUs). A

@@ -206,6 +206,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup matches the batch dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = batch.select(xxhash64($"text")).distinct().count()
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val q = graft.streaming.StreamOps.dedupExact(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_docs").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_docs")
+      assert(out.count() == expected)
+      assert(out.select($"content_hash").distinct().count() == expected)
+    } finally q.stop()
+  }
+
   test("structured streaming: watermarked window agg over the events table") {
     // file streaming sources need a DIRECTORY: stage the table into one
     val dir = java.nio.file.Files.createTempDirectory("evstream")
