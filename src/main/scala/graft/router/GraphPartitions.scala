@@ -55,18 +55,36 @@ object FileBin {
         size() > MaxCached
     }
 
-  def load(path: String, epoch: Long): CompactGraph = cache.synchronized {
-    val hit = cache.get(path)
+  /** in-flight loads, per path: concurrent tasks needing the SAME bin
+    * share one deserialization; tasks needing DIFFERENT bins (or cache
+    * hits) never wait behind it — the LRU lock is held only for map ops,
+    * not for IO (the r4 memo-stampede lesson, applied here) */
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[CompactGraph]]()
+
+  def load(path: String, epoch: Long): CompactGraph = {
+    val hit = cache.synchronized(cache.get(path))
     if (hit != null) return hit
+    val ft = new java.util.concurrent.FutureTask(
+      new java.util.concurrent.Callable[CompactGraph] {
+        def call(): CompactGraph = doLoad(path, epoch)
+      })
+    val prev = inflight.putIfAbsent(path, ft)
+    val task = if (prev == null) { ft.run(); ft } else prev
+    try {
+      val g = task.get()
+      cache.synchronized(cache.put(path, g))
+      g
+    } finally inflight.remove(path, task)
+  }
+
+  private def doLoad(path: String, epoch: Long): CompactGraph = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
     val in = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
       fs.open(new org.apache.hadoop.fs.Path(path)), 1 << 20))
-    try {
-      val g = in.readObject().asInstanceOf[CompactGraph].setEpoch(epoch)
-      cache.put(path, g)
-      g
-    } finally in.close()
+    try in.readObject().asInstanceOf[CompactGraph].setEpoch(epoch)
+    finally in.close()
   }
 
   def write(path: String, g: CompactGraph): Long = {
