@@ -281,12 +281,19 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // headline: map-match + tile assignment pipeline. Warm-up first — the
-    // r1 headline measured cold-JIT kernel time and disagreed with
-    // BENCH/BASELINE.md by 140x on the same code. Per-phase BEST of 3
+    // headline: map-match + tile assignment pipeline. FULL-SIZE warm-up
+    // first (same discipline as the scaling harness): the r1 headline
+    // measured cold-JIT kernel time and disagreed with BENCH/BASELINE.md
+    // by 140x on the same code, and a toy-size warm-up (8x12/tpr2) left
+    // C2 still compiling through rep 3 of the measured world — r5's reps
+    // printed monotone-decreasing 5.3/3.6/2.9 s, i.e. the "best of 3" was
+    // still a warm-up gradient, not steady state. Per-phase BEST of 3
     // reps: this host has bursty CPU steal (a single-shot phase time can
     // be 10x off); the minimum is the uncontended measurement.
-    runPipeline(spark, rows = 8, cols = 12, tripsPerRoute = 2)
+    runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
+    spark.catalog.clearCache()
+    graft.router.HopCache.clear()
+    runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
     // steal-screened reps: a rep whose window saw > 1.5% all-core steal is
     // contaminated (historical bursts inflate a phase up to 3x) — run a
     // replacement rep, up to 6 total, so the published minima come from

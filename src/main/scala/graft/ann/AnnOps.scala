@@ -49,14 +49,19 @@ object AnnOps {
         v.cast("double") * (((i * 37 + lit(j) * 101) % 7 - 3).cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 
-  /** LSH bucket id per vector: nPlanes sign bits of deterministic integer
-    * hyperplane projections. One narrow projection per row — no shuffle. */
+  /** LSH bucket id of an embedding column: nPlanes sign bits of
+    * deterministic integer hyperplane projections — a pure in-row
+    * expression, so callers add it as a projection instead of joining a
+    * bucket table back on vec_id. */
+  def bucketOf(emb: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      when(planeProj(emb, j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH bucket id per vector: one narrow projection per row — no shuffle. */
   def lshBuckets(vectors: DataFrame, nPlanes: Int): DataFrame = {
     import vectors.sparkSession.implicits._
-    val bucket = (0 until nPlanes).map { j =>
-      when(planeProj($"embedding", j) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    vectors.select($"vec_id", bucket.as("bucket"))
+    vectors.select($"vec_id", bucketOf($"embedding", nPlanes).as("bucket"))
   }
 
   /** Brute-force top-k by cosine: the (small) query set is broadcast against
@@ -64,12 +69,16 @@ object AnnOps {
     * (q, neighbor, rank, cos) with deterministic tie-breaks. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import queries.sparkSession.implicits._
-    val q = queries.select($"vec_id".as("q"), $"embedding".as("qv"))
-    val c = corpus.select($"vec_id", $"embedding".as("cv"))
+    // norms precomputed per side: the crossJoin then costs one dot per
+    // (query, corpus-row), not 1 dot + 2 O(dim) norm aggregates
+    val q = queries.select($"vec_id".as("q"), $"embedding".as("qv"),
+      norm($"embedding").as("qn"))
+    val c = corpus.select($"vec_id", $"embedding".as("cv"),
+      norm($"embedding").as("cn"))
     val w = Window.partitionBy($"q").orderBy($"cos".desc, $"vec_id")
     c.crossJoin(broadcast(q))
       .filter($"q" =!= $"vec_id")
-      .withColumn("cos", round(dot($"qv", $"cv") / (norm($"qv") * norm($"cv")), 4))
+      .withColumn("cos", round(dot($"qv", $"cv") / ($"qn" * $"cn"), 4))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"q", $"vec_id".as("neighbor"), $"rank", $"cos")
@@ -80,13 +89,17 @@ object AnnOps {
     * the verifiable output. */
   def lshTopK(vectors: DataFrame, nPlanes: Int, k: Int): DataFrame = {
     import vectors.sparkSession.implicits._
-    val withB = vectors.select($"vec_id", $"embedding").join(lshBuckets(vectors, nPlanes), "vec_id")
+    // bucket + norm are per-VECTOR projections computed before the
+    // self-join: the pair stage then does one dot product per candidate
+    // pair instead of re-running two O(dim) norm aggregates per pair
+    val withB = vectors.select($"vec_id", $"embedding",
+      bucketOf($"embedding", nPlanes).as("bucket"), norm($"embedding").as("nrm"))
     val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
     withB.as("x").join(withB.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("q"), col("y.vec_id").as("neighbor"),
         round(dot(col("x.embedding"), col("y.embedding")) /
-          (norm(col("x.embedding")) * norm(col("y.embedding"))), 4).as("cos"))
+          (col("x.nrm") * col("y.nrm")), 4).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"q", $"neighbor", $"rank", $"cos")

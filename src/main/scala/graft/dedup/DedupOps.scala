@@ -91,27 +91,46 @@ object DedupOps {
       .select($"a", $"b", $"jaccard")
   }
 
+  /** Per-doc wide MinHash row: one min-aggregate per hash function in a
+    * SINGLE groupBy(doc_id) — the gram rows shuffle once, not once per
+    * hash function (the previous crossJoin-with-j plan moved NumHashes x
+    * the gram volume through the exchange for the same result). */
+  private def minhashWide(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = gramHashes(docs)
+    val mins = (1 to NumHashes).map { j =>
+      min((($"h" * (2 * j + 1)) + (j * 12345L)) % MinhashPrime).as(s"mh$j")
+    }
+    g.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash signatures: minhash_j = min((a_j*h + b_j) mod p) for j=1..8,
     * a_j = 2j+1, b_j = j*12345 (all-positive arithmetic: identical mod
     * semantics in every engine). Output: (doc_id, j, mh). */
   def minhash(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = gramHashes(docs)
-    val js = docs.sparkSession.range(1, NumHashes + 1).select($"id".cast("int").as("j"))
-    g.crossJoin(broadcast(js))
-      .groupBy($"doc_id", $"j")
-      .agg(min((($"j" * 2 + 1) * $"h" + $"j" * 12345) % MinhashPrime).as("mh"))
+    // unpivot AFTER aggregation: NumHashes rows per doc, not per gram
+    val pairs = (1 to NumHashes)
+      .map(j => struct(lit(j).as("j"), col(s"mh$j").as("mh")))
+    minhashWide(docs)
+      .select($"doc_id", explode(array(pairs: _*)).as("p"))
+      .select($"doc_id", $"p.j".as("j"), $"p.mh".as("mh"))
   }
 
   /** MinHash LSH candidate pairs: 4 bands x 2 rows; two docs collide when a
     * whole band matches. Returns (a, b, n_bands) pairs, a < b. */
   def minhashLsh(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val mh = minhash(docs)
     // band id = (j+1)/2; band signature = sum of member hashes (order-free)
-    val bands = mh.withColumn("band", (($"j" + 1) / 2).cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(sum($"mh").as("sig"))
+    // — computed directly from the wide row, so the only shuffles are the
+    // gram groupBy and the band equi-join (the per-(doc,j) and per-band
+    // re-aggregations of the previous plan folded into expressions)
+    val bandCols = (1 to NumHashes / 2).map { b =>
+      struct(lit(b).as("band"), (col(s"mh${2 * b - 1}") + col(s"mh${2 * b}")).as("sig"))
+    }
+    val bands = minhashWide(docs)
+      .select($"doc_id", explode(array(bandCols: _*)).as("p"))
+      .select($"doc_id", $"p.band".as("band"), $"p.sig".as("sig"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -145,14 +164,16 @@ object DedupOps {
   def embeddingCosine(emb: DataFrame, threshold: Double,
                       nPlanes: Int = 8): DataFrame = {
     import emb.sparkSession.implicits._
-    val b = graft.ann.AnnOps.lshBuckets(emb, nPlanes)
-    val withB = emb.select($"vec_id", $"embedding").join(b, "vec_id")
+    // bucket + norm inline as per-vector projections (no vec_id join-back;
+    // the pair stage pays one dot per candidate, never an O(dim) norm)
+    val withB = emb.select($"vec_id", $"embedding",
+      graft.ann.AnnOps.bucketOf($"embedding", nPlanes).as("bucket"),
+      graft.ann.AnnOps.norm($"embedding").as("nrm"))
     val pairs = withB.as("x").join(withB.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         graft.ann.AnnOps.dot(col("x.embedding"), col("y.embedding")).as("dot"),
-        graft.ann.AnnOps.norm(col("x.embedding")).as("na"),
-        graft.ann.AnnOps.norm(col("y.embedding")).as("nb"))
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
     pairs
       .withColumn("cos", round($"dot" / ($"na" * $"nb"), 4))
       .filter($"cos" >= threshold)

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.AnnOps
+import graft.dedup.DedupOps
+
+/** Unit fixtures for the dedup/ANN operators. These are ALSO covered by
+  * the driver's DuckDB oracle at sf0.01; the hand-built fixtures here pin
+  * the semantics locally (identical docs collide everywhere, disjoint docs
+  * nowhere, exact cosine values on constructed vectors) so a plan rewrite
+  * that changes results fails in `sbt test` before it reaches the oracle. */
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // twin0/twin1 identical; near0 shares exactly half its bigrams with the
+  // twins; alone is fully disjoint
+  private lazy val docs: DataFrame = Seq(
+    (0L, "red green blue yellow violet"),   // twin0: 4 bigrams
+    (1L, "red green blue yellow violet"),   // twin1 (exact dup)
+    // near0 shares 2 of 4 bigrams; "blue sky" (len 8) cannot hash-collide
+    // with "blue yellow" (len 11) — gramHash keys on first-4-chars+length
+    (2L, "red green blue sky umber"),
+    (3L, "one two three four five")         // alone: disjoint
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: identical texts collapse to min id with count") {
+    val r = DedupOps.exact(docs).orderBy($"canonical_id")
+      .as[(Long, Long)].collect.toSeq
+    assert(r == Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: dup pair at 1.0, half-overlap pair at computed value") {
+    // universe is small, so disable the DF cut (every gram in the twins is
+    // in 2/4 = 50% of docs — the default 10% cap would empty the sets)
+    val r = DedupOps.ngramJaccard(docs, threshold = 0.3, dfCapFrac = 1.0)
+      .orderBy($"a", $"b").as[(Long, Long, Double)].collect.toSeq
+    // twins: |A∩B|=4, |A∪B|=4 → 1.0; twin-vs-near0: inter=2, union=6 → 0.3333
+    assert(r == Seq((0L, 1L, 1.0), (0L, 2L, 0.3333), (1L, 2L, 0.3333)))
+  }
+
+  test("minhash: 8 signature rows per doc, identical docs identical, in range") {
+    val mh = DedupOps.minhash(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(mh.length == 4 * DedupOps.NumHashes)
+    val byDoc = mh.groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+    assert(byDoc(0L) == byDoc(1L))            // identical text, identical signature
+    assert(byDoc(0L) != byDoc(3L))            // disjoint text, different signature
+    assert(byDoc(0L).map(_._1) == (1 to DedupOps.NumHashes))
+    assert(mh.forall { case (_, _, v) => v >= 0 && v < DedupOps.MinhashPrime })
+  }
+
+  test("minhash LSH: exact dups collide in all bands, disjoint docs never pair") {
+    val pairs = DedupOps.minhashLsh(docs)
+      .as[(Long, Long, Long)].collect.toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.contains((0L, 1L, DedupOps.NumHashes.toLong / 2)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical equal, disjoint differ, 16-bit range") {
+    val sh = DedupOps.simhash(docs).as[(Long, Long)].collect.toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(3L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  // constructed embeddings with known cosines: e0 == e1 (cos 1), e2 is e0
+  // scaled (cos 1 — cosine is scale-invariant), e3 orthogonal to e0
+  private lazy val emb: DataFrame = {
+    def v(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(8)(0f); xs.foreach { case (i, x) => a(i) = x }; a.toSeq
+    }
+    Seq(
+      (0L, v(0 -> 1f, 1 -> 2f)),
+      (1L, v(0 -> 1f, 1 -> 2f)),
+      (2L, v(0 -> 3f, 1 -> 6f)),
+      (3L, v(2 -> 5f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: exact cosine ranks on constructed vectors") {
+    val r = AnnOps.bruteForceTopK(emb.filter($"vec_id" === 0L), emb, 2)
+      .as[(Long, Long, Int, Double)].collect.toSeq.sortBy(_._3)
+    assert(r.map(x => (x._2, x._4)) == Seq((1L, 1.0), (2L, 1.0))) // ties by id
+  }
+
+  test("lsh buckets: scaled vector shares e0's bucket (sign-projection)") {
+    val b = AnnOps.lshBuckets(emb, 8).as[(Long, Long)].collect.toMap
+    assert(b(0L) == b(1L) && b(0L) == b(2L)) // parallel vectors: same signs
+  }
+
+  test("embedding cosine dedup: parallel vectors pair at cos 1.0") {
+    val r = DedupOps.embeddingCosine(emb, threshold = 0.9)
+      .as[(Long, Long, Double)].collect.toSeq.sortBy(p => (p._1, p._2))
+    assert(r.filter(_._3 >= 0.999).map(p => (p._1, p._2)) ==
+      Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("lsh top-k: finds the parallel neighbors with exact cosine") {
+    val r = AnnOps.lshTopK(emb, 8, 2).as[(Long, Long, Int, Double)].collect.toSeq
+    val q0 = r.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.map(x => (x._2, x._4)) == Seq((1L, 1.0), (2L, 1.0)))
+  }
+}
