@@ -294,6 +294,13 @@ object Bench {
     spark.catalog.clearCache()
     graft.router.HopCache.clear()
     runPipeline(spark, rows = 24, cols = 40, tripsPerRoute = 40)
+    // reset the A9 stats adders so the published counters cover exactly
+    // the measured reps — warm-up iterations would otherwise inflate
+    // dijkstra_iters/kernel_solves and break their round-over-round
+    // determinism (the regression signal the r4->r5 bisect relied on)
+    graft.router.Dijkstra.Iters.reset()
+    graft.router.MatcherKernel.KernelSolves.reset()
+    graft.router.MatcherKernel.KernelNanos.reset()
     // steal-screened reps: a rep whose window saw > 1.5% all-core steal is
     // contaminated (historical bursts inflate a phase up to 3x) — run a
     // replacement rep, up to 6 total, so the published minima come from

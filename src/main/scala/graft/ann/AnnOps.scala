@@ -84,6 +84,75 @@ object AnnOps {
       .select($"q", $"vec_id".as("neighbor"), $"rank", $"cos")
   }
 
+  /** IVF coarse quantizer: the K lowest-vec_id vectors serve as anchor
+    * centroids — a deterministic, oracle-reproducible stand-in for trained
+    * k-means centroids (the inverted-list/probe mechanics, which are what
+    * scale, are identical; swapping in trained centroids only changes this
+    * one small table). K is chosen ~ sqrt(corpus), so the anchor table is
+    * broadcastable at any corpus size that has a workable list size. */
+  private def ivfAnchors(vectors: DataFrame, k: Int): DataFrame = {
+    import vectors.sparkSession.implicits._
+    vectors.orderBy($"vec_id").limit(k)
+      .select($"vec_id".as("list_id"), $"embedding".as("av"),
+        norm($"embedding").as("an"))
+  }
+
+  /** Nearest anchor per vector, with the vector's own embedding + norm
+    * carried for the in-list scan. One broadcast crossJoin of the K-row
+    * anchor table against the corpus — no corpus shuffle; the argmax runs
+    * on the 4-decimal-rounded cosine (ties to the lower list id) so the
+    * assignment is bit-reproducible in the SQL oracle. */
+  private def ivfAssignFull(vectors: DataFrame, k: Int): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val c = vectors.select($"vec_id", $"embedding".as("cv"),
+      norm($"embedding").as("cn"))
+    // argmax as a lexicographic struct-max, NOT a row_number window: the
+    // hash aggregate combines map-side, so the exchange carries one row
+    // per vector instead of the K-fanned crossJoin output (cv/cn ride in
+    // the struct's tail — identical across a vector's K rows, so they
+    // never decide the comparison: list ids are distinct)
+    c.crossJoin(broadcast(ivfAnchors(vectors, k)))
+      .select($"vec_id", struct(
+        round(dot($"cv", $"av") / ($"cn" * $"an"), 4).as("acos"),
+        (-$"list_id").as("nl"), $"cv", $"cn").as("s"))
+      .groupBy($"vec_id").agg(max($"s").as("s"))
+      .select($"vec_id", (-$"s.nl").as("list_id"), $"s.cv".as("cv"),
+        $"s.cn".as("cn"))
+  }
+
+  /** IVF inverted-list assignment: (vec_id, list_id). */
+  def ivfAssign(vectors: DataFrame, k: Int): DataFrame = {
+    import vectors.sparkSession.implicits._
+    ivfAssignFull(vectors, k).select($"vec_id", $"list_id")
+  }
+
+  /** IVF ANN: each query probes its nProbe nearest anchors and scans only
+    * those inverted lists with exact cosine; top-k per query. The probe
+    * set (queries x nProbe) is broadcast against the assignment table —
+    * the corpus is touched once, filtered to ~nProbe/K of its rows by the
+    * list equi-join. Recall < 1 by construction (a true neighbor may live
+    * in an unprobed list); the list histogram is the verifiable output. */
+  def ivfTopK(queries: DataFrame, vectors: DataFrame, k: Int, nProbe: Int,
+              topK: Int): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val q = queries.select($"vec_id".as("q"), $"embedding".as("qv"),
+      norm($"embedding").as("qn"))
+    val wp = Window.partitionBy($"q").orderBy($"acos".desc, $"list_id")
+    val probes = q.crossJoin(broadcast(ivfAnchors(vectors, k)))
+      .withColumn("acos", round(dot($"qv", $"av") / ($"qn" * $"an"), 4))
+      .withColumn("rk", row_number().over(wp))
+      .filter($"rk" <= nProbe)
+      .select($"q", $"qv", $"qn", $"list_id")
+    val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
+    ivfAssignFull(vectors, k).join(broadcast(probes), "list_id")
+      .filter($"q" =!= $"vec_id")
+      .select($"q", $"vec_id".as("neighbor"),
+        round(dot($"qv", $"cv") / ($"qn" * $"cn"), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"q", $"neighbor", $"rank", $"cos")
+  }
+
   /** LSH-bucketed ANN: candidates = same bucket; exact cosine within bucket,
     * top-k per query. Recall < 1 by construction; the bucket histogram is
     * the verifiable output. */

@@ -636,8 +636,78 @@ object GraftQueries {
         |    row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rank, cos
         |  FROM sims)
         |SELECT q, neighbor, CAST(rank AS BIGINT) AS rank, cos
-        |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin),
+
+    "q_ann_ivf_lists" -> q((s: SparkSession, dir: String) => {
+      // IVF inverted-list histogram: 16 deterministic anchors (lowest
+      // vec_ids as centroid stand-ins), nearest-anchor assignment on
+      // 4-decimal cosine with ties to the lower list id
+      import s.implicits._
+      AnnOps.ivfAssign(read(s, dir, "embeddings"), 16)
+        .groupBy($"list_id").agg(count(lit(1)).as("n"))
+        .orderBy($"list_id")
+    },
+      s"""$ivfAssignWith
+         |SELECT list_id, count(*) AS n FROM assign GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_ann_ivf_topk" -> q((s: SparkSession, dir: String) => {
+      // probe-limited IVF search: queries probe their 4 nearest anchor
+      // lists, exact cosine within the probed lists, top-3
+      import s.implicits._
+      val emb = read(s, dir, "embeddings")
+      AnnOps.ivfTopK(emb.filter($"vec_id" < 5), emb, 16, 4, 3)
+        .select($"q", $"neighbor", $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"q", $"rank")
+    },
+      s"""$ivfAssignWith,
+         |probes AS (
+         |  SELECT q, list_id FROM (
+         |    SELECT vec_id AS q, list_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, list_id) AS rk
+         |    FROM asims WHERE vec_id < 5) t WHERE rk <= 4),
+         |cand AS (
+         |  SELECT p.q, a2.vec_id AS neighbor FROM probes p
+         |  JOIN assign a2 ON a2.list_id = p.list_id AND a2.vec_id <> p.q),
+         |cdots AS (
+         |  SELECT c.q, c.neighbor, sum(cq.v * cy.v) AS dot FROM cand c
+         |  JOIN comp cq ON cq.vec_id = c.q
+         |  JOIN comp cy ON cy.vec_id = c.neighbor AND cy.i = cq.i
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT q, neighbor, round(dot / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM cdots JOIN norms nq ON nq.vec_id = q JOIN norms nn ON nn.vec_id = neighbor),
+         |ranked AS (
+         |  SELECT q, neighbor,
+         |    row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rank, cos
+         |  FROM sims)
+         |SELECT q, neighbor, CAST(rank AS BIGINT) AS rank, cos
+         |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin)
   )
+
+  /** Shared oracle CTE prefix for the IVF queries: per-component unnest,
+    * norms, the 16-anchor table, nearest-anchor assignment (argmax of the
+    * 4-decimal cosine, ties to the lower list id) — mirrors
+    * AnnOps.ivfAssignFull exactly. */
+  private def ivfAssignWith: String =
+    """WITH comp AS (
+      |  SELECT vec_id, idx.i AS i, CAST(embedding[idx.i] AS DOUBLE) AS v
+      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+      |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY 1),
+      |anch AS (SELECT vec_id AS list_id FROM embeddings ORDER BY vec_id LIMIT 16),
+      |adots AS (
+      |  SELECT c.vec_id, a.list_id, sum(c.v * ca.v) AS dot
+      |  FROM comp c CROSS JOIN anch a
+      |  JOIN comp ca ON ca.vec_id = a.list_id AND ca.i = c.i
+      |  GROUP BY 1, 2),
+      |asims AS (
+      |  SELECT d.vec_id, d.list_id, round(dot / (nv.nrm * na.nrm), 4) AS acos
+      |  FROM adots d JOIN norms nv ON nv.vec_id = d.vec_id
+      |  JOIN norms na ON na.vec_id = d.list_id),
+      |assign AS (
+      |  SELECT vec_id, list_id FROM (
+      |    SELECT vec_id, list_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, list_id) AS rk
+      |    FROM asims) t WHERE rk = 1)""".stripMargin
 
   def all: Map[String, (Q, String)] =
     relational ++ spatial ++ graphRel ++ events ++ text ++ dedup ++ ann

@@ -99,6 +99,38 @@ class DedupAnnSpec extends AnyFunSuite {
       Seq((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  // IVF fixture: v0/v1 are the k=2 anchors (lowest ids); v2 parallel to
+  // v0, v3 orthogonal to both anchors (tie -> lower list id), v4 closer
+  // to v1's direction
+  private lazy val ivfEmb: DataFrame = {
+    def v(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(8)(0f); xs.foreach { case (i, x) => a(i) = x }; a.toSeq
+    }
+    Seq(
+      (0L, v(0 -> 1f)),
+      (1L, v(0 -> 1f, 1 -> 1f)),
+      (2L, v(0 -> 2f)),
+      (3L, v(2 -> 5f)),
+      (4L, v(1 -> 4f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("ivf assign: nearest anchor, ties to the lower list id") {
+    val a = AnnOps.ivfAssign(ivfEmb, 2).as[(Long, Long)].collect.toMap
+    assert(a == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("ivf top-k: probe-limited search scans only probed lists") {
+    // nProbe=1: v2 probes list 0 only -> candidates {v0, v3}
+    val r1 = AnnOps.ivfTopK(ivfEmb.filter($"vec_id" === 2L), ivfEmb, 2, 1, 2)
+      .as[(Long, Long, Int, Double)].collect.toSeq.sortBy(_._3)
+    assert(r1.map(x => (x._2, x._4)) == Seq((0L, 1.0), (3L, 0.0)))
+    // nProbe=2: both lists scanned -> v1 (cos 0.7071) displaces v3
+    val r2 = AnnOps.ivfTopK(ivfEmb.filter($"vec_id" === 2L), ivfEmb, 2, 2, 2)
+      .as[(Long, Long, Int, Double)].collect.toSeq.sortBy(_._3)
+    assert(r2.map(x => (x._2, x._4)) == Seq((0L, 1.0), (1L, 0.7071)))
+  }
+
   test("lsh top-k: finds the parallel neighbors with exact cosine") {
     val r = AnnOps.lshTopK(emb, 8, 2).as[(Long, Long, Int, Double)].collect.toSeq
     val q0 = r.filter(_._1 == 0L).sortBy(_._3)
