@@ -212,9 +212,12 @@ object Bench {
       val c0 = Matcher.buildCandsWithStations(spark, t.stops, edgesR,
         stationsR, cfg,
         maxAbsLat = Some(math.max(math.abs(bbox.latMin), math.abs(bbox.latMax))))
+      // lazy: the count() below is the materializing action — an eager
+      // checkpoint would run the identical work as its own job and then
+      // pay a second scheduler round-trip for the count
       val c = (if (distBuild) graft.router.DistGraphBuild.tagCands(c0, edgesR)
                else c0)
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       c.count(); c
     }
     phases += ("cands_join" -> tCands)

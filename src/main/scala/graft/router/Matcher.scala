@@ -37,6 +37,17 @@ object Matcher {
   def checkpointSer(df: DataFrame): DataFrame =
     df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Lazy variant: marks the plan for a serialized local checkpoint but
+    * lets the FIRST consuming action materialize it, folding what would be
+    * a dedicated materialization job (plan compile + AQE + scheduler
+    * round-trip, ~0.2-0.3 s of driver floor each at local parallelism,
+    * the same constant on a cluster driver) into a job that runs anyway.
+    * Safe here because every consumer chain in the match path is
+    * sequential single-threaded driver code — no two actions race to
+    * materialize the same unpersisted checkpoint. */
+  def checkpointSerLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Candidate generation with station-aware penalties (J4 + J6 + U1-U5):
     * buildCands plus, per stop, a bonus for edges that touch an OSM station
     * node whose (normalized) name is similar to the stop's — the
@@ -220,6 +231,12 @@ object Matcher {
     // hops, the color ops, the eval and the overlay — truncating the
     // logical lineage here keeps every downstream plan shallow (deep
     // lineage made AQE's per-update plan stringification quadratic)
+    // EAGER on purpose (unlike the slim seq tables above): the solve must
+    // run as its own dedicated job so the kernel has every core and the
+    // KernelNanos/KernelCpuNanos wall-vs-CPU diagnostics measure the
+    // kernel, not co-scheduled join/explode tasks of a fused job (a lazy
+    // checkpoint here inflated summed in-solve wall ~100x at local[32]
+    // with identical CPU and iteration counts)
     val solved = checkpointSer(solveSeqs(spark, distinctSeqs,
       cands, parts, cfg))
 
@@ -338,11 +355,11 @@ object Matcher {
     // seq_key depends on the collected stops array, but the projection
     // drops the array post-agg — it exists only transiently per group,
     // never in a shuffle file or checkpoint block
-    val seqKeys = checkpointSer(tripStopsWithKey(tripStops)
+    val seqKeys = checkpointSerLazy(tripStopsWithKey(tripStops)
       .select($"trip_id", $"seq_key"))
     val reps = seqKeys.groupBy($"seq_key").agg(min($"trip_id").as("trip_id"))
     val repRows = tripStops.join(reps.select($"trip_id"), Seq("trip_id"), "left_semi")
-    val distinctSeqs = checkpointSer(tripStopsWithKey(repRows)
+    val distinctSeqs = checkpointSerLazy(tripStopsWithKey(repRows)
       .select($"seq_key", $"line_name", $"stops", $"from_name", $"to_name"))
     (seqKeys, distinctSeqs)
   }
