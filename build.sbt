@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked mains inherit stdout directly instead of sbt's "[info] "-prefixed
+// logger: Bench/Verify emit machine-readable JSON lines that downstream
+// tooling parses from stdout, and the prefix broke that parse
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
