@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan audit: prints formatted physical plans for the load-bearing queries
   * and greps them for the properties we claim (pushed filters, pruned
-  * scans, broadcast joins, whole-stage codegen). Run manually; findings
-  * recorded in README. */
+  * scans, broadcast joins) AND for the anti-patterns we claim to avoid
+  * (cartesian products / nested-loop joins in the pair-generating dedup
+  * and ANN paths — the all-pairs shapes that do not survive 100x). Run
+  * manually; findings recorded in README. Exits non-zero on any failure
+  * so it can gate a release. */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -19,29 +22,62 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
+    var failures = 0
 
-    def audit(name: String, wanted: Seq[String]): Unit = {
+    def audit(name: String, wanted: Seq[String], banned: Seq[String] = Nil): Unit = {
       val df = graft.queries.GraftQueries.queries(name)(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val missing = wanted.filterNot(plan.contains)
-      println(s"=== $name: " + (if (missing.isEmpty) "OK" else s"MISSING ${missing.mkString(", ")}"))
-      if (missing.nonEmpty) println(plan.take(4000))
+      val present = banned.filter(plan.contains)
+      val ok = missing.isEmpty && present.isEmpty
+      if (!ok) failures += 1
+      println(s"=== $name: " + (if (ok) "OK"
+        else (if (missing.nonEmpty) s"MISSING ${missing.mkString(", ")} " else "") +
+             (if (present.nonEmpty) s"BANNED ${present.mkString(", ")}" else "")))
+      if (!ok) println(plan.take(4000))
     }
+    // every pair-generating path must be an equi-join on a bounded key
+    // (gram hash, LSH band, sign bucket, cell), never an all-pairs scan
+    val allPairs = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 
     // pushdown + pruning reach the parquet scan
     // (codegen ids are not annotated pre-execution under AQE; assert the
     // scan-level properties instead)
     audit("q_bbox_filter", Seq("PushedFilters", "ReadSchema: struct<c_custkey:bigint>"))
     // broadcast join picked for the k-ring spatial join
-    audit("q_kring_join", Seq("BroadcastHashJoin", "gcell"))
+    audit("q_kring_join", Seq("BroadcastHashJoin", "gcell"), allPairs)
     // pruned read schema on a projection-only query
     audit("q_cell_assign", Seq("ReadSchema: struct<c_custkey:bigint>"))
     // distance join = k-ring cell equi-join (BroadcastHashJoin), NOT a
     // cartesian BroadcastNestedLoopJoin (r1's scale-killer anti-pattern)
-    audit("q_dist_join", Seq("BroadcastHashJoin", "kring"))
+    audit("q_dist_join", Seq("BroadcastHashJoin", "kring"), allPairs)
     // window agg stays codegen'd
     audit("q_running_sum", Seq("Window", "Sort"))
+    // dedup pair generation: equi-join (SortMerge or Hash) on the gram /
+    // band / bucket key; the absolute-DF cap and banding guarantee the
+    // per-key group is bounded, so an all-pairs operator would be a bug.
+    // Exception, asserted explicitly: ngramJaccard and the IVF paths use
+    // a DELIBERATE BroadcastNestedLoopJoin whose build side is bounded by
+    // construction (a 1-row count scalar; the ~sqrt(N)-capped anchor
+    // table) — an O(N * K) scan, not all-pairs; CartesianProduct (both
+    // sides data-sized) stays banned there too.
+    audit("q_ngram_jaccard", Seq("Join", "BroadcastNestedLoopJoin"),
+      Seq("CartesianProduct"))
+    audit("q_minhash_lsh", Seq("Join"), allPairs)
+    audit("q_embed_cosine", Seq("Join"), allPairs)
+    audit("q_ann_lsh_topk", Seq("Join"), allPairs)
+    audit("q_ann_ivf_topk", Seq("Join", "BroadcastNestedLoopJoin"),
+      Seq("CartesianProduct"))
+    // exact dedup is one hash aggregate, no join at all
+    audit("q_dedup_exact", Seq("HashAggregate"), allPairs :+ "SortMergeJoin")
+    // doc-table text ops are scans + projections: no shuffle operators
+    audit("q_lang_id", Seq("ReadSchema"), Seq("Exchange") ++ allPairs)
+    audit("q_fingerprint", Seq("ReadSchema"), allPairs)
     spark.stop()
+    if (failures > 0) {
+      System.err.println(s"ExplainAudit: $failures failing audits")
+      sys.exit(1)
+    }
   }
 }
