@@ -225,6 +225,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append-mode windowed agg") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("latestream")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    def write(batch: Seq[(Long, Long)]): Unit = {
+      // minutes -> timestamps on a fixed epoch base ALIGNED to the 5-min
+      // window grid (tumbling windows start at epoch multiples of the
+      // window size: 1700000100 % 300 == 0)
+      val base = 1700000100000L
+      batch.map { case (u, minute) =>
+        (u, new java.sql.Timestamp(base + minute * 60000L))
+      }.toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    }
+    // window A [0,5): two on-time events
+    write(Seq((1L, 0L), (2L, 2L)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".cast("long").as("w_start"), $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_windows").start()
+    try {
+      q.processAllAvailable()
+      // advance event time to minute 60 -> watermark 50 -> window A closes
+      write(Seq((3L, 60L)))
+      q.processAllAvailable()
+      // LATE arrival for window A (minute 2, watermark is far past 5):
+      // append semantics REQUIRE it be dropped, not re-emitted or counted
+      write(Seq((4L, 2L)))
+      // close the minute-60 window too so every on-time row is emitted
+      write(Seq((5L, 120L)))
+      q.processAllAvailable()
+      val rows = spark.table("late_windows")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val base = 1700000100L
+      assert(rows(base) == 2L,
+        s"window A must count only its two ON-TIME events, got $rows")
+      assert(rows(base + 3600L) == 1L)
+      // window A was emitted exactly once (no late re-emission)
+      assert(spark.table("late_windows").groupBy($"w_start").count()
+        .filter($"count" > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("structured streaming: watermarked window agg over the events table") {
     // file streaming sources need a DIRECTORY: stage the table into one
     val dir = java.nio.file.Files.createTempDirectory("evstream")
