@@ -30,16 +30,22 @@ object ConnectedComponents {
       // propagate: comp via neighbors
       val viaNeighbors = sym.join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .select($"a".as("node"), $"comp")
+      // LAZY local checkpoints: the round's single action (the `changed`
+      // count below) materializes both — one scheduler round-trip per
+      // round instead of three. The checkpoint still cuts lineage and
+      // avoids self-join attribute ambiguity (the DataFrame is re-rooted
+      // at marking time, not at materialization); the deterministic
+      // min-aggregate makes a concurrent first-touch recompute harmless.
       val step1 = labels.unionByName(viaNeighbors)
         .groupBy($"node").agg(min($"comp").as("comp"))
-        .localCheckpoint(true) // cut lineage; also avoids self-join ambiguity
+        .localCheckpoint(false)
       // pointer jumping: comp -> comp(comp)
       val right = step1.select($"node".as("jnode"), $"comp".as("comp2"))
       val jumped = step1
         .join(right, step1("comp") === right("jnode"), "left_outer")
         .select(step1("node"), coalesce(least(step1("comp"), right("comp2")),
           step1("comp")).as("comp"))
-      val newLabels = jumped.localCheckpoint(true)
+      val newLabels = jumped.localCheckpoint(false)
       changed = newLabels.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.comp") =!= col("o.comp")).count()
       labels.unpersist()
