@@ -145,6 +145,51 @@ object PropertySpec extends Properties("graft.kernels") {
       StringSim.gtfsTimeToSec(f"$h%02d:$m%02d:$s%02d") == h * 3600 + m * 60 + s
     }
 
+  property("cell hierarchy: parent(encode(p, res)) == encode(p, pRes) — " +
+           "the law partition pruning relies on") =
+    forAll(lat, lng, Gen.choose(8, 14), Gen.choose(1, 6)) { (a, o, res, up) =>
+      val pRes = res - up
+      Cell.parent(Cell.encode(a, o, res), pRes) == Cell.encode(a, o, pRes)
+    }
+
+  property("cell bounds contain the encoded point; center re-encodes to " +
+           "the same cell") =
+    forAll(lat, lng, Gen.choose(8, 14)) { (a, o, res) =>
+      val c = Cell.encode(a, o, res)
+      val (laMin, loMin, laMax, loMax) = Cell.bounds(c)
+      val (ca, co) = Cell.center(c)
+      a >= laMin && a <= laMax && o >= loMin && o <= loMax &&
+        Cell.encode(ca, co, res) == c
+    }
+
+  property("bbox cover: complete (every sampled inner point's cell is in " +
+           "the cover) and tight (every cover cell intersects the bbox)") =
+    forAll(localPt, Gen.choose(0.001, 0.05), Gen.choose(0.001, 0.05),
+           Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) {
+      case ((la, lo), dLat, dLng, fa, fo) =>
+        val res = 12
+        val cover = Cell.cover(la, lo, la + dLat, lo + dLng, res).toSet
+        val pa = la + fa * dLat; val po = lo + fo * dLng
+        val eps = 1e-9
+        cover.contains(Cell.encode(pa, po, res)) &&
+          cover.forall { c =>
+            val (bLaMin, bLoMin, bLaMax, bLoMax) = Cell.bounds(c)
+            bLaMax >= la - eps && bLaMin <= la + dLat + eps &&
+              bLoMax >= lo - eps && bLoMin <= lo + dLng + eps
+          }
+    }
+
+  property("kForMeters: the chosen ring really reaches dM meters") =
+    forAll(localPt, Gen.choose(100.0, 5000.0)) { case ((la, lo), dM) =>
+      val res = 13
+      val k = Cell.kForMeters(dM, la, res)
+      // a point dM meters due east must land inside the k-ring
+      val dLng = dM / (111320.0 * math.cos(math.toRadians(la)))
+      val c0 = Cell.encode(la, lo, res)
+      val ct = Cell.encode(la, lo + dLng, res)
+      k >= 0 && Cell.kRing(c0, k).contains(ct)
+    }
+
   property("webMercator x strictly monotone in lng at fixed lat") =
     forAll(lat, lng, lng) { (a, o1, o2) =>
       val x1 = Geo.latLngToWebMerc(a, o1)._1
