@@ -22,15 +22,20 @@ object AnnOps {
     * used by tests/fixtures — the operators themselves are dim-agnostic. */
   val Dim = 64
 
-  /** dot(a, b) over array<float> columns as in-row codegen'd arithmetic. */
+  /** dot(a, b) over array<float> columns. Was
+    * `aggregate(zip_with(a, b, *))` — higher-order functions are
+    * CodegenFallback (boxed per-element lambda eval), measured as the
+    * dominant cost of every pairwise stage; now a codegen'd expression
+    * running the identical FP sequence (graft.functions.ArrayDot). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    Bridge.column(graft.functions.ArrayDot(Bridge.expression(a), Bridge.expression(b)))
 
-  /** L2 norm of an array<float> column. */
+  /** L2 norm of an array<float> column (codegen'd, same FP order as the
+    * previous aggregate(transform(...)) fold). */
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    Bridge.column(graft.functions.ArrayNorm(Bridge.expression(a)))
+
+  private val Bridge = org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Deterministic integer hyperplane weight for (plane j, dim i):
     * ((i*37 + j*101) mod 7) - 3  — identical arithmetic in the SQL oracle
@@ -52,11 +57,13 @@ object AnnOps {
   /** LSH bucket id of an embedding column: nPlanes sign bits of
     * deterministic integer hyperplane projections — a pure in-row
     * expression, so callers add it as a projection instead of joining a
-    * bucket table back on vec_id. */
+    * bucket table back on vec_id. Codegen'd single-pass over the array
+    * (graft.functions.LshBucket): the previous per-plane
+    * when(planeProj > 0) chain evaluated nPlanes interpreted
+    * transform+aggregate folds per row; the accumulation order per plane
+    * is unchanged, so bucket ids are bit-identical. */
   def bucketOf(emb: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { j =>
-      when(planeProj(emb, j) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    Bridge.column(graft.functions.LshBucket(Bridge.expression(emb), nPlanes))
 
   /** LSH bucket id per vector: one narrow projection per row — no shuffle. */
   def lshBuckets(vectors: DataFrame, nPlanes: Int): DataFrame = {
