@@ -28,11 +28,14 @@ object DedupOps {
       .select($"canonical_id", $"n_dups")
   }
 
-  /** Per-doc distinct gram-hash sets (the shingle set). */
+  /** Per-doc distinct gram-hash sets (the shingle set). In-row dedup
+    * (duplicate (doc_id, h) pairs only arise within one document), so the
+    * old global distinct() exchange is gone — this is now a pure scan
+    * projection. */
   def gramHashes(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    TextOps.wordBigrams(docs, "doc_id", "text")
-      .select($"doc_id", TextOps.gramHash($"gram").as("h")).distinct()
+    docs.select($"doc_id",
+      explode(TextOps.bigramHashes($"text", distinct = true)).as("h"))
   }
 
   /** Default document-frequency cap for ngramJaccard: grams present in more
@@ -78,9 +81,26 @@ object DedupOps {
       .select($"h")
     val kept = g.join(hotGrams, Seq("h"), "left_anti")
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = kept.as("x").join(kept.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // Pair generation WITHOUT the self-join: the old kept⋈kept-on-h plan
+    // funneled every pair of a capped hot gram (up to DfCapAbs^2 rows per
+    // gram) through a sort-merge join whose distinct-key count — not the
+    // data volume — set the parallelism (measured at sf0.1: 3.5M pair
+    // rows from 90 join keys, the query's dominant cost). Equivalent
+    // formulation: per-gram sorted doc array (bounded at DfCapAbs
+    // elements by the cut above), round-robin spread over the cores, and
+    // chained codegen explodes + b > a filter. Same pair multiset ->
+    // identical n_inter; no broadcast and no join, so the gram dimension
+    // stays fully distributed (10^12-corpus safe), the per-task work is
+    // bounded by DfCapAbs^2 per gram row, and map-side partial
+    // aggregation halves what reaches the (a, b) exchange.
+    val perGram = kept.groupBy($"h")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val inter = perGram
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"b" > $"a")
+      .groupBy($"a", $"b")
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
@@ -131,10 +151,23 @@ object DedupOps {
     val bands = minhashWide(docs)
       .select($"doc_id", explode(array(bandCols: _*)).as("p"))
       .select($"doc_id", $"p.band".as("band"), $"p.sig".as("sig"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // collision-pair generation WITHOUT the self-join (same rewrite as
+    // ngramJaccard's inter: the band⋈band equi-join had only
+    // #distinct-(band, sig) effective keys — measured 272 keys fanning to
+    // 1.58M pair rows at sf0.1, so a handful of tasks did all the work).
+    // Per-(band, sig) sorted member array, round-robin spread, chained
+    // codegen explodes + b > a: identical pair multiset per band, fully
+    // parallel, map-side partial aggregation before the (a, b) exchange.
+    // The arrays are the LSH buckets themselves — bounded by the bucket
+    // sizes the banding scheme is designed to keep small, and never
+    // broadcast, so the plan stays 10^12-corpus safe.
+    bands.groupBy($"band", $"sig")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"b" > $"a")
+      .groupBy($"a", $"b")
       .agg(count(lit(1)).cast("long").as("n_bands"))
   }
 

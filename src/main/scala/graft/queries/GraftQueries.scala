@@ -431,9 +431,16 @@ object GraftQueries {
          |FROM documents""".stripMargin),
 
     "q_fingerprint" -> q((s: SparkSession, dir: String) => {
+      // hash-array path (no gram strings, no interpreted zip_with): sum is
+      // order-insensitive, so summing the codegen'd per-doc hash array
+      // matches the exploded-gram groupBy exactly (TextHashSpec pins the
+      // hash equivalence)
       import s.implicits._
-      val grams = TextOps.wordBigrams(read(s, dir, "documents"), "doc_id", "text")
-      TextOps.fingerprint(grams, "doc_id").orderBy($"doc_id")
+      read(s, dir, "documents")
+        .select($"doc_id", explode(TextOps.bigramHashes($"text", distinct = false)).as("gh"))
+        .groupBy($"doc_id")
+        .agg(((sum($"gh") % 1000000007L + count(lit(1))) % 1000000007L).as("fingerprint"))
+        .orderBy($"doc_id")
     },
       s"""$bigramWith
          |SELECT doc_id,

@@ -75,6 +75,16 @@ object TextOps {
     ((a(1) * 31 + a(2)) * 31 + a(3)) * 31 + a(4) * 127 + length(gram)
   }
 
+  /** All word-bigram gram hashes of a text column in ONE codegen'd pass
+    * (array<long>, text order; `distinct` dedups in-row). Value-identical
+    * to `wordBigrams` + `gramHash` — pinned by TextHashSpec — without the
+    * interpreted zip_with lambda, the per-gram string allocation, or (for
+    * the distinct form) the global distinct shuffle. */
+  def bigramHashes(text: Column, distinct: Boolean): Column = {
+    val B = org.apache.spark.sql.graftbridge.ColumnBridge
+    B.column(graft.functions.BigramHashes(B.expression(text), distinct))
+  }
+
   /** Order-insensitive document fingerprint: sum of gram hashes mod p,
     * combined with the length (rolling-hash analog, SQL-replicable). */
   def fingerprint(grams: DataFrame, idCol: String): DataFrame = {
