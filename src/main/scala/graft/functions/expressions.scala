@@ -17,6 +17,41 @@ object GeoOps {
     new GenericArrayData(Cell.kRing(cell, k))
   def coverArray(latMin: Double, lonMin: Double, latMax: Double, lonMax: Double, res: Int): ArrayData =
     new GenericArrayData(Cell.cover(latMin, lonMin, latMax, lonMax, res))
+
+  /** geom bbox + cell cover in ONE pass over the point structs. Replaces
+    * array_min/array_max over four interpreted transform(geom, ...) passes
+    * feeding the CodegenFallback CellsCover — per edge that was 4 array
+    * allocations + interpreted lambda evals; this is a tight loop. Returns
+    * null for an empty geom (array_min of an empty array was null, which
+    * the null-intolerant CellsCover propagated). */
+  def geomCoverArray(geom: ArrayData, res: Int): ArrayData = {
+    val n = geom.numElements()
+    if (n == 0) return null
+    var latMin = Double.MaxValue; var latMax = -Double.MaxValue
+    var lonMin = Double.MaxValue; var lonMax = -Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val p = geom.getStruct(i, 2)
+      val la = p.getDouble(0); val lo = p.getDouble(1)
+      if (la < latMin) latMin = la
+      if (la > latMax) latMax = la
+      if (lo < lonMin) lonMin = lo
+      if (lo > lonMax) lonMax = lo
+      i += 1
+    }
+    new GenericArrayData(Cell.cover(latMin, lonMin, latMax, lonMax, res))
+  }
+
+  /** point-to-polyline projection on parallel lat/lon arrays; identical
+    * arithmetic to Geo.projectOnPolyline (delegates to the same kernel).
+    * Returns the (progr, lat, lon, dist) struct the old ScalaUDF produced. */
+  def projectArrays(pLat: Double, pLon: Double,
+                    glat: ArrayData, glon: ArrayData): InternalRow = {
+    val r = Geo.projectOnPolylineArr(pLat, pLon,
+      glat.toDoubleArray(), glon.toDoubleArray())
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](r._1, r._2, r._3, r._4))
+  }
 }
 
 /** gcell(lat, lon, res) -> long grid-cell id (our H3/S2 analog; see
@@ -102,6 +137,63 @@ case class CellsCover(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** geom_cover(geom, res) -> array<long>: cells covering the geometry's
+  * bbox at `res`, computed in one codegen'd pass over the point structs
+  * (see GeoOps.geomCoverArray for the expressions it replaces). */
+case class GeomCover(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geom_cover"
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    GeoOps.geomCoverArray(g.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, r) => {
+      s"""${ev.value} = graft.functions.GeoOps.geomCoverArray($g, $r);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** polyline_project(pLat, pLon, glat, glon) ->
+  * struct<_1: progr, _2: lat, _3: lon, _4: distM> — the candidate join's
+  * inner kernel as a codegen'd expression (was a ScalaUDF whose Seq[Double]
+  * conversion boxed every coordinate and allocated a tuple per point). */
+case class PolylineProject(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("_1", DoubleType, nullable = false),
+    StructField("_2", DoubleType, nullable = false),
+    StructField("_3", DoubleType, nullable = false),
+    StructField("_4", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "polyline_project"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoOps.projectArrays(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoOps.projectArrays($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** cost_to_int(seconds) -> long decisecond fixed point (Geo.costToInt as a
+  * codegen'd expression; was a ScalaUDF in the edge-cost projection). */
+case class CostToInt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cost_to_int"
+  override protected def nullSafeEval(s: Any): Any =
+    Geo.costToInt(s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.geo.Geo.costToInt($s)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-side API + SQL registration. */
 object GeoFunctions {
   import org.apache.spark.sql.SparkSession
@@ -130,6 +222,17 @@ object GeoFunctions {
       ExpressionUtils.expression(latMin), ExpressionUtils.expression(lonMin),
       ExpressionUtils.expression(latMax), ExpressionUtils.expression(lonMax),
       Literal(res))))
+
+  def geomCover(geom: Column, res: Int): Column =
+    ExpressionUtils.column(GeomCover(ExpressionUtils.expression(geom), Literal(res)))
+
+  def polylineProject(pLat: Column, pLon: Column, glat: Column, glon: Column): Column =
+    ExpressionUtils.column(PolylineProject(
+      ExpressionUtils.expression(pLat), ExpressionUtils.expression(pLon),
+      ExpressionUtils.expression(glat), ExpressionUtils.expression(glon)))
+
+  def costToInt(seconds: Column): Column =
+    ExpressionUtils.column(CostToInt(ExpressionUtils.expression(seconds)))
 
   /** Register SQL names so spark.sql("... gcell(lat,lon,12) ...") works. */
   def register(spark: SparkSession): Unit = {

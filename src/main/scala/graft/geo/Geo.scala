@@ -89,6 +89,42 @@ object Geo {
     (bestProgr, bestLat, bestLon, best)
   }
 
+  /** projectOnPolyline on parallel coordinate arrays — operation-for-
+    * operation identical arithmetic (same segment order, same haversine
+    * calls, same tie behavior: strict `<` keeps the first-best segment),
+    * without the per-point tuple boxing of the Array[(Double, Double)]
+    * form. Used by the codegen'd PolylineProject expression. */
+  def projectOnPolylineArr(pLat: Double, pLon: Double,
+                           lats: Array[Double], lons: Array[Double]):
+      (Double, Double, Double, Double) = {
+    val n = lats.length
+    require(n >= 1)
+    if (n == 1)
+      return (0.0, lats(0), lons(0), haversineM(pLat, pLon, lats(0), lons(0)))
+    val segLens = new Array[Double](n - 1)
+    var total = 0.0
+    var i = 0
+    while (i < n - 1) {
+      segLens(i) = haversineM(lats(i), lons(i), lats(i + 1), lons(i + 1))
+      total += segLens(i); i += 1
+    }
+    var best = Double.MaxValue
+    var bestProgr = 0.0; var bestLat = lats(0); var bestLon = lons(0)
+    var acc = 0.0
+    i = 0
+    while (i < n - 1) {
+      val (t, qLat, qLon, d) =
+        projectOnSegment(pLat, pLon, lats(i), lons(i), lats(i + 1), lons(i + 1))
+      if (d < best) {
+        best = d
+        bestProgr = if (total <= 0) 0.0 else (acc + t * segLens(i)) / total
+        bestLat = qLat; bestLon = qLon
+      }
+      acc += segLens(i); i += 1
+    }
+    (bestProgr, bestLat, bestLon, best)
+  }
+
   /** Polyline length in meters (sum of haversine segment lengths) —
     * EdgePL::getLength semantics (/root/reference/src/pfaedle/trgraph/EdgePL.cpp:78-86). */
   def polylineLenM(line: Array[(Double, Double)]): Double = {

@@ -146,6 +146,14 @@ object GraphBuilder {
       .filter($"a" < $"b" &&
         haversineM($"a_lat", $"a_lon", $"b_lat", $"b_lon") <= toleranceM)
       .select($"a", $"a_lat", $"a_lon", $"b").distinct()
+    // short-circuit: no mergeable endpoint pairs (the common case on a
+    // well-digitized extract, and always true on the synthetic bench
+    // world). The full path below with an EMPTY mapping is a value-level
+    // identity — every left_outer misses, coalesce keeps the original
+    // node/geometry values — so skipping it changes nothing except the
+    // plan: the mapping self-join, two broadcast builds and the geometry
+    // rebuild projection disappear from the downstream checkpoint job.
+    if (pairs.isEmpty) { deg1.unpersist(); return edges }
     // canonical target per merged node; resolve one chain hop (b->a, c->b)
     val m0 = pairs.groupBy($"b")
       .agg(min_by(struct($"a", $"a_lat", $"a_lon"), $"a").as("t"))
@@ -335,9 +343,8 @@ object GraphBuilder {
     val speedCol = speeds.zipWithIndex.foldRight(lit(speeds.last): org.apache.spark.sql.Column) {
       case ((s, i), acc) => when($"lvl" === i, lit(s)).otherwise(acc)
     }
-    val costToIntUdf = udf((sec: Double) => Geo.costToInt(sec))
     val edgesCost = edgesRaw
-      .withColumn("cost10", costToIntUdf($"len_m" / speedCol))
+      .withColumn("cost10", costToInt($"len_m" / speedCol))
 
     // ---- turn-cycle nodes (F4): no turn costs there (Weights.cpp:125),
     // and never contracted through (OsmBuilder.cpp:1591-1594) ----
@@ -379,12 +386,10 @@ object GraphBuilder {
     // them on every plan update, a pure-driver cost that anti-scales.
     // Truncating the lineage here makes every downstream plan shallow; the
     // graph is the bounded dimension, so materializing it is free.
-    val edges = contracted.withColumn("cells",
-      gcellsCover(
-        expr("array_min(transform(geom, p -> p.lat))"),
-        expr("array_min(transform(geom, p -> p.lon))"),
-        expr("array_max(transform(geom, p -> p.lat))"),
-        expr("array_max(transform(geom, p -> p.lon))"), cfg.cellRes))
+    // geomCover: bbox + cover in one codegen'd pass (was four interpreted
+    // transform/array_min/array_max passes feeding CodegenFallback
+    // CellsCover — the dominant task time of this checkpoint job)
+    val edges = contracted.withColumn("cells", geomCover($"geom", cfg.cellRes))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // ---- station nodes (F4 station predicate); names via F6 deep attr

@@ -165,11 +165,10 @@ object Matcher {
           array($"from_lat", $"to_lat").as("glat"),
           array($"from_lon", $"to_lon").as("glon"),
           explode($"cells").as("cell")))
-    val projectUdf = udf((sLat: Double, sLng: Double,
-                          glat: Seq[Double], glon: Seq[Double]) =>
-      Geo.projectOnPolyline(sLat, sLng, glat.zip(glon).map(p => (p._1, p._2)).toArray))
+    // codegen'd projection expression (was a ScalaUDF: Seq[Double]
+    // conversion boxed every coordinate of every candidate row's polyline)
     val joined = stopRings.join(edgeCells, Seq("cell"))
-      .withColumn("proj", projectUdf($"s_lat", $"s_lng", $"glat", $"glon"))
+      .withColumn("proj", polylineProject($"s_lat", $"s_lng", $"glat", $"glon"))
       .select($"stop_id", $"edge_id", $"oneway",
         $"proj._1".as("progr"), $"proj._2".as("py"), $"proj._3".as("px"),
         $"proj._4".as("dist_m"))
