@@ -61,11 +61,15 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, threshold: Double,
                    dfCapFrac: Double = DefaultDfCapFrac): DataFrame = {
     import docs.sparkSession.implicits._
-    // localCheckpoint, not cache: g is consumed by three downstream plans
-    // and materializes right here; checkpoint blocks are released when the
-    // plan is GC'd, while a cache() entry pins executor memory until an
-    // explicit unpersist no caller ever issues (the r3 leak).
-    val g = gramHashes(docs).localCheckpoint()
+    // localCheckpoint, not cache: g is consumed by three downstream plans;
+    // checkpoint blocks are released when the plan is GC'd, while a
+    // cache() entry pins executor memory until an explicit unpersist no
+    // caller ever issues (the r3 leak). LAZY + serialized: the first
+    // consuming action materializes it (one scheduler round-trip less
+    // than the eager form; all consumers here run sequentially), and
+    // serialized blocks are exactly accounted (see Matcher.checkpointSer).
+    val g = gramHashes(docs).localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // DF cut: one tiny broadcast of the total count, one agg over grams.
     // The hot-gram side is SMALL relative to the gram universe but not
     // constant: under the absolute ceiling its count is bounded by

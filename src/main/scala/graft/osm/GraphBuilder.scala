@@ -367,7 +367,12 @@ object GraphBuilder {
     val stationNodeIds = bboxNodes.filter(tagMatches($"tags", cfg.stationRules))
       .select($"id".as("node_id"))
     val breakNodes = turnCycles.unionByName(stationNodeIds).unionByName(blockers)
-    val contracted0 = contractDeg2Chains(edgesCost, breakNodes).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // LAZY: localCheckpoint persists immediately, so the first consuming
+    // action (fixGaps' pair check) materializes the blocks and every later
+    // reference reads them — one dedicated materialization job less; all
+    // consumers run sequentially on the driver (same safety argument as
+    // Matcher.checkpointSerLazy).
+    val contracted0 = contractDeg2Chains(edgesCost, breakNodes).localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // ---- G8 fixGaps: 1 m endpoint merge of degree-1 nodes ----
     val contracted = fixGaps(contracted0)
@@ -390,7 +395,7 @@ object GraphBuilder {
     // transform/array_min/array_max passes feeding CodegenFallback
     // CellsCover — the dominant task time of this checkpoint job)
     val edges = contracted.withColumn("cells", geomCover($"geom", cfg.cellRes))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // ---- station nodes (F4 station predicate); names via F6 deep attr
     // extraction: own name, else the name of a containing relation (e.g. a

@@ -456,7 +456,15 @@ object CompactGraph {
                 turnCycles: org.apache.spark.sql.DataFrame = null): CompactGraph = {
     val hasGeom = edges.columns.contains("geom")
     import org.apache.spark.sql.functions.{coalesce, col => fcol, lit}
-    val rows = (if (hasGeom)
+    // the four driver collects below are INDEPENDENT jobs; running them
+    // sequentially paid four scheduler/AQE round-trips back to back
+    // (guide: overlap independent jobs so the next job's tasks back-fill
+    // the current job's tail). Futures on the global pool submit them
+    // concurrently; results are deterministic either way.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rowsF = Future((if (hasGeom)
       edges.select(org.apache.spark.sql.functions.col("edge_id"),
         org.apache.spark.sql.functions.col("way_id"),
         org.apache.spark.sql.functions.col("from_id"),
@@ -472,11 +480,11 @@ object CompactGraph {
         org.apache.spark.sql.functions.expr("transform(geom, p -> p.lon)").as("glon"))
     else edges.select("edge_id", "way_id", "from_id", "to_id",
       "from_lat", "from_lon", "to_lat", "to_lon", "cost10", "len_m", "oneway"))
-      .collect()
+      .collect())
     // (short_name, from_str, to_str) triples per way — G2 needs the
     // from/to split (RoutingAttrs.h:40-42); columns may be absent on
     // older line dims
-    val wayToNames: Map[Long, Array[(String, String, String)]] =
+    val wayToNamesF: Future[Map[Long, Array[(String, String, String)]]] = Future {
       if (wayLines == null || lines == null) Map.empty
       else {
         val hasFt = lines.columns.contains("from_str")
@@ -490,6 +498,15 @@ object CompactGraph {
             w -> rs.map(r => (r.getString(1), r.getString(2), r.getString(3))).distinct
           }
       }
+    }
+    val restrF = Future(restrictions.select("via_node", "from_way", "to_way", "positive")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))))
+    val tcyF = Future {
+      if (turnCycles == null) Array.empty[Long]
+      else turnCycles.select("node_id").collect().map(_.getLong(0))
+    }
+    val rows = Await.result(rowsF, Duration.Inf)
+    val wayToNames = Await.result(wayToNamesF, Duration.Inf)
     val edgeRows = rows.map { r =>
       val (glat, glon) =
         if (hasGeom) (r.getSeq[Double](11).toArray, r.getSeq[Double](12).toArray)
@@ -497,11 +514,8 @@ object CompactGraph {
       EdgeRowIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         glat, glon, r.getLong(8), r.getDouble(9), r.getInt(10))
     }
-    val restr = restrictions.select("via_node", "from_way", "to_way", "positive")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    val tcy =
-      if (turnCycles == null) Array.empty[Long]
-      else turnCycles.select("node_id").collect().map(_.getLong(0))
+    val restr = Await.result(restrF, Duration.Inf)
+    val tcy = Await.result(tcyF, Duration.Inf)
     fromRows(edgeRows, wayToNames, restr, tcy)
   }
 
