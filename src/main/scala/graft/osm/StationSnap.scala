@@ -313,31 +313,39 @@ object StationSnap {
     val snapRes = 20 // ~10 m cells: right-sized for the 15 m snap radius
     val w = new Work(snapRes)
 
-    val edgeRows = gt.edges.select(
+    // the three input collects are independent jobs — submit them
+    // concurrently (same rationale as CompactGraph.fromEdges: back-to-back
+    // driver collects pay serial scheduler/AQE round-trips)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val edgeRowsF = Future(gt.edges.select(
       col("edge_id").cast("long"), col("way_id").cast("long"),
       col("pos").cast("long"),
       col("from_id").cast("long"), col("to_id").cast("long"),
       expr("transform(geom, p -> p.lat)"), expr("transform(geom, p -> p.lon)"),
       col("len_m").cast("double"), col("cost10").cast("long"),
-      col("lvl").cast("int"), col("oneway").cast("int")).collect()
-    edgeRows.sortBy(_.getLong(0)).foreach { r =>
-      w.addEdge(new WEdge(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getSeq[Double](5).toArray, r.getSeq[Double](6).toArray,
-        r.getDouble(7), r.getLong(8), r.getInt(9), r.getInt(10)))
+      col("lvl").cast("int"), col("oneway").cast("int")).collect())
+    val blockersF = Future {
+      if (blockerNodes == null) Array.empty[org.apache.spark.sql.Row]
+      else blockerNodes.select(col("node_id").cast("long")).collect()
     }
-    if (blockerNodes != null)
-      blockerNodes.select(col("node_id").cast("long")).collect()
-        .foreach(r => w.blockers += r.getLong(0))
-
     val hasTrack = gt.stations.columns.contains("track")
     val trackCol = if (hasTrack) col("track") else lit(null).cast("string")
-    val stations = gt.stations.select(col("node_id").cast("long"),
+    val stationsF = Future(gt.stations.select(col("node_id").cast("long"),
       col("lat").cast("double"), col("lon").cast("double"), col("name"), trackCol)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
         if (r.isNullAt(3)) null else r.getString(3),
         if (r.isNullAt(4)) null else r.getString(4)))
-      .sortBy(_._1)
+      .sortBy(_._1))
+    Await.result(edgeRowsF, Duration.Inf).sortBy(_.getLong(0)).foreach { r =>
+      w.addEdge(new WEdge(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getSeq[Double](5).toArray, r.getSeq[Double](6).toArray,
+        r.getDouble(7), r.getLong(8), r.getInt(9), r.getInt(10)))
+    }
+    Await.result(blockersF, Duration.Inf).foreach(r => w.blockers += r.getLong(0))
+    val stations = Await.result(stationsF, Duration.Inf)
 
     val placed = runPass(w, stations, cfg)
 
