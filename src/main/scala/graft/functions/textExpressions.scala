@@ -26,6 +26,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    POINT of the k-th character (astral planes included).
   */
 object TextHashOps {
+  /** non-overlapping occurrence count of " word " in " text ", times the
+    * pattern's code-point length, divided by the pattern's UTF-16 length —
+    * value-identical to the (length-diff / literal-length) formula. */
+  def wordOccurrences(s: UTF8String, word: String): Double = {
+    val padded = " " + s.toString + " "
+    val pat = " " + word + " "
+    var cnt = 0
+    var i = padded.indexOf(pat)
+    while (i >= 0) { cnt += 1; i = padded.indexOf(pat, i + pat.length) }
+    val numChars = pat.codePointCount(0, pat.length)
+    (cnt.toLong * numChars).toDouble / pat.length
+  }
+
   def bigramHashes(s: UTF8String, distinct: Boolean): ArrayData = {
     val b = s.getBytes
     val n = b.length
@@ -103,6 +116,29 @@ object TextHashOps {
     }
     new GenericArrayData(java.util.Arrays.copyOf(ded, m))
   }
+}
+
+/** word_occurrences(text, word) -> double: the wordCount formula
+  * ((length(padded) - length(replace-all(padded, " word ", ""))) /
+  * literal-utf16-length) evaluated as one literal scan instead of a regex
+  * engine pass per (row, marker word) — q_lang_id ran 12 regexp_replace
+  * passes per document. Non-overlapping left-to-right match semantics
+  * (continue after the match end) are exactly Java replaceAll's for a
+  * quoted literal; the returned double is count * numChars(pattern) /
+  * pattern.length — the same two ints the old expression divided. */
+case class WordOccurrences(child: Expression, word: String) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_occurrences"
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashOps.wordOccurrences(s.asInstanceOf[UTF8String], word)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("word", word, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashOps.wordOccurrences($c, $w)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** bigram_hashes(text) -> array<long> of word-bigram gram hashes, in text

@@ -90,18 +90,31 @@ object Matcher {
       .filter($"d_m" <= cfg.maxSnapDistanceM)
       .filter(simUdf($"stop_name", $"st_name", $"d_m"))
       .withColumn("trk_mism", trkMismUdf($"pc", $"trk"))
+    // ONE aggregation pass over the stop x station pairs serves both
+    // outputs below: the previous two groupBys keyed differently ((stop,
+    // node) vs (stop)) over the un-exchanged simPairs subtree, so the
+    // k-ring join + both similarity UDFs executed twice per action. Both
+    // outputs now hang off the same (stop_id, node_id) exchange, which
+    // ReuseExchange dedups within the final cands plan. The lexicographic
+    // struct-min is hierarchical, so the per-(stop, node) min of
+    // (trk_mism, d_m) followed by the per-stop min over (trk_mism, d_m,
+    // node_id) picks exactly the pair-level minimum the old single-level
+    // min_by picked (st_lat/st_lon are constant per node).
+    val simAgg = simPairs.groupBy($"stop_id", $"node_id")
+      .agg(min(struct($"trk_mism", $"d_m")).as("md"),
+        first($"st_lat").as("st_lat"), first($"st_lon").as("st_lon"))
     // a vertex aliasing several platforms counts as matching if ANY matches
-    val simStations = simPairs.groupBy($"stop_id", $"node_id")
-      .agg(min($"trk_mism").as("trk_mism"))
+    val simStations = simAgg.select($"stop_id", $"node_id",
+      $"md.trk_mism".as("trk_mism"))
     // the NEAREST similar station per stop — matching track beats distance
     // (two same-name platforms of one station are otherwise
     // indistinguishable): candidates touching that vertex snap their
     // position onto it, so matched shapes terminate exactly at the station
     // node (the reference routes via station group nodes, OsmBuilder
     // snapStation + ShapeBuilder getECM)
-    val bestStation = simPairs.groupBy($"stop_id")
+    val bestStation = simAgg.groupBy($"stop_id")
       .agg(min_by(struct($"node_id", $"st_lat", $"st_lon"),
-        struct($"trk_mism", $"d_m", $"node_id")).as("b"))
+        struct($"md.trk_mism".as("trk_mism"), $"md.d_m".as("d_m"), $"node_id")).as("b"))
       .select($"stop_id", $"b.node_id".as("best_node"),
         $"b.st_lat".as("b_lat"), $"b.st_lon".as("b_lon"))
     val cands = buildCands(spark, stops, edges, cfg, maxAbsLat)

@@ -14,9 +14,8 @@ object TextOps {
     * (len(padded) - len(replace(padded, ' w ', ''))) / len(' w ').
     * Codegen'd; same formula in SQL. */
   def wordCount(text: Column, word: String): Column = {
-    val w = s" $word "
-    val padded = concat(lit(" "), text, lit(" "))
-    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(w), ""))) / lit(w.length)
+    val B = org.apache.spark.sql.graftbridge.ColumnBridge
+    B.column(graft.functions.WordOccurrences(B.expression(text), word))
   }
 
   /** Deterministic language scores from marker-word frequencies. The marker

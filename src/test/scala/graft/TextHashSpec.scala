@@ -48,6 +48,21 @@ class TextHashSpec extends AnyFunSuite {
     assert(canon(kernel) == canon(legacy))
   }
 
+  test("wordCount kernel == legacy regexp_replace length-diff formula") {
+    def legacyWordCount(text: org.apache.spark.sql.Column, word: String) = {
+      val w = s" $word "
+      val padded = concat(lit(" "), text, lit(" "))
+      (length(padded) - length(regexp_replace(padded,
+        java.util.regex.Pattern.quote(w), ""))) / lit(w.length)
+    }
+    val words = Seq("the", "a", "and", "東京", "ü#", "emoji")
+    val legacy = docs.select($"doc_id" +: words.map(w =>
+      legacyWordCount($"text", w).as(s"c_$w")): _*)
+    val kernel = docs.select($"doc_id" +: words.map(w =>
+      TextOps.wordCount($"text", w).as(s"c_$w")): _*)
+    assert(canon(kernel) == canon(legacy))
+  }
+
   test("bigramHashes(distinct=true) == legacy distinct gram-hash set") {
     val legacy = TextOps.wordBigrams(docs, "doc_id", "text")
       .select($"doc_id", TextOps.gramHash($"gram").as("h")).distinct()
