@@ -296,20 +296,22 @@ object GraphBuilder {
     val taggedWays = osmWays.filter(tagMatches($"tags", cfg.keepWays))
     val wayNodePairs = taggedWays
       .select($"id".as("way_id"), $"tags", posexplode($"nodes").as(Seq("pos", "node_id")))
-    // left_semi against bbox node ids keeps ways with any member inside
-    // (reference: OsmIdSet bloom semi-join, OsmBuilder.cpp:623-637)
-    val keptWayIds = wayNodePairs
-      .join(bboxNodes.select($"id".as("node_id")), Seq("node_id"), "left_semi")
-      .select($"way_id").distinct()
 
     // ---- J2: resolve node coords, consecutive pairs -> edges ----
+    // The reference's pass-1 way keep-filter ("any member node in bbox",
+    // OsmIdSet bloom semi-join, OsmBuilder.cpp:623-637) is SUBSUMED by the
+    // coordinate inner join below: a way with no member in the bbox
+    // contributes zero resolved pairs either way, and for kept ways the
+    // coord join drops exactly the same out-of-bbox members. The previous
+    // explicit keptWayIds semi-join (distinct over all way-node pairs +
+    // a second pass over wayNodePairs) was therefore a value-level no-op
+    // costing a full extra shuffle of the pair table at scale.
     // nohup nodes (OsmBuilder.cpp:680-683): ways passing through get their
     // OWN node copy, so they never interconnect there — remap the node id
     // to a way-local synthetic id (same way keeps connectivity via pos)
     val nohupIds = bboxNodes.filter(tagMatches($"tags", cfg.nohupRules))
       .select($"id".as("node_id")).withColumn("nohup", lit(1))
     val resolved0 = wayNodePairs
-      .join(keptWayIds, Seq("way_id"), "left_semi")
       .join(bboxNodes.select($"id".as("node_id"), $"lat", $"lon"), Seq("node_id"))
     val resolved =
       (if (cfg.nohupRules.isEmpty) resolved0
