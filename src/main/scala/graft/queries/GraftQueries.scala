@@ -33,13 +33,23 @@ object GraftQueries {
     * SAMPLING THE CHILD — and a child with no shuffle/materialization
     * boundary below it is executed twice, once for the sample pass and
     * once for the sort's own shuffle (measured ~2x wall on the
-    * scan-rooted catalog queries, e.g. q_dist_join 1.08 -> 0.45 s). The
-    * LAZY serialized local checkpoint materializes the (small, final)
-    * result on the sampling pass and the sort reads it back. Strictly
-    * per-invocation: each bench/oracle call builds a fresh DataFrame and
-    * recomputes from the parquet inputs — nothing persists across runs. */
+    * scan-rooted catalog queries; same-session A/B on q_dist_join:
+    * plain orderBy 0.87 s, round-robin-repartition-then-sort 0.75, this
+    * form 0.63). The LAZY serialized localCheckpoint materializes the
+    * (small, final) result on the sampling pass and the sort reads the
+    * blocks back. RDD-level persistence, NOT Dataset.cache: a cache()
+    * here would register in the CacheManager keyed by the logical plan
+    * and silently REUSE results across bench reps — the cross-run
+    * caching the round rules ban; the checkpoint RDD is fresh per
+    * invocation and reclaimed by the ContextCleaner.
+    * PlanDumpEverything (set only by BenchExtra's explain mode) skips
+    * the boundary so dumped plans show the full operator tree; the
+    * executed plan differs only by this checkpoint under the final
+    * Sort. */
+  @volatile var PlanDumpEverything: Boolean = false
   private def sortedBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
-    df.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    if (PlanDumpEverything) df.orderBy(cols: _*)
+    else df.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       .orderBy(cols: _*)
 
   // ---- derived deterministic geo points (same formula in SQL) ----
