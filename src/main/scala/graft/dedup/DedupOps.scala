@@ -19,6 +19,16 @@ object DedupOps {
   val MinhashPrime = 2147483647L
   val NumHashes = 8
 
+  /** Lazy serialized localCheckpoint (one materialization boundary, no
+    * dedicated job — the first consuming action materializes the blocks;
+    * see Matcher.checkpointSerLazy for the safety argument). In
+    * BenchExtra's explain dumps these boundaries appear as ExistingRDD
+    * scans labeled with this call site; the lineage above them is in the
+    * corresponding `_before.txt` plan dump under plans/r06. */
+  private def cpLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Exact dedup: canonical representative per identical text.
     * (hash-groupBy; at scale this is a single shuffle on the text hash). */
   def exact(docs: DataFrame): DataFrame = {
@@ -68,8 +78,7 @@ object DedupOps {
     // consuming action materializes it (one scheduler round-trip less
     // than the eager form; all consumers here run sequentially), and
     // serialized blocks are exactly accounted (see Matcher.checkpointSer).
-    val g = gramHashes(docs).localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val g = cpLazy(gramHashes(docs))
     // DF cut: one tiny broadcast of the total count, one agg over grams.
     // The hot-gram side is SMALL relative to the gram universe but not
     // constant: under the absolute ceiling its count is bounded by
@@ -84,7 +93,6 @@ object DedupOps {
       .filter($"df" > least(floor($"n_docs" * dfCapFrac), lit(DfCapAbs)))
       .select($"h")
     val kept = g.join(hotGrams, Seq("h"), "left_anti")
-    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     // Pair generation WITHOUT the self-join: the old kept⋈kept-on-h plan
     // funneled every pair of a capped hot gram (up to DfCapAbs^2 rows per
     // gram) through a sort-merge join whose distinct-key count — not the
@@ -97,9 +105,27 @@ object DedupOps {
     // stays fully distributed (10^12-corpus safe), the per-task work is
     // bounded by DfCapAbs^2 per gram row, and map-side partial
     // aggregation halves what reaches the (a, b) exchange.
+    //
+    // perGram is checkpointed (lazy, serialized): it is the SMALL gram
+    // summary (one row per kept gram, array bounded at DfCapAbs) and has
+    // two consumers — the pair generation and the doc-size aggregation.
+    // Without the boundary each consumer re-ran the whole upstream (g
+    // scan, df agg, hot-gram anti-join, collect_list agg), and sizes was
+    // consumed twice more (sza/szb), so the df/kept subtree appeared
+    // THREE times in the physical plan (measured: 3 duplicate df agg
+    // exchanges + 2 duplicate size aggs at sf0.1).
     val perGram = kept.groupBy($"h")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .transform(cpLazy)
+    // per-doc kept-gram count derived from perGram instead of a second
+    // pass over kept: every kept (doc_id, h) row is exactly one element
+    // of exactly one ds array, so the multiset of exploded doc_ids equals
+    // the kept rows — identical counts, tiny input.
+    // sizes is itself consumed twice (sza and szb join sides) — the same
+    // lazy boundary keeps the agg from running twice.
+    val sizes = cpLazy(perGram.select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("sz")))
     val inter = perGram
       .select(explode($"ds").as("a"), $"ds")
       .select($"a", explode($"ds").as("b"))

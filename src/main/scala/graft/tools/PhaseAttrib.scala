@@ -11,7 +11,12 @@ object PhaseAttrib {
     val cols = sys.env.getOrElse("SPARK_GRAFT_COLS", "128").toInt
     val tpr = sys.env.getOrElse("SPARK_GRAFT_TPR", "400").toInt
     val spark = ScalingBench.session(cores)
-    graft.Bench.runPipeline(spark, 8, 12, 2) // JIT warm
+    // full-size warm (same discipline as graft.Bench: a toy warm-up leaves
+    // C2 still compiling through the measured rep)
+    graft.Bench.runPipeline(spark, rows, cols, tpr)
+    spark.catalog.clearCache()
+    graft.router.HopCache.clear()
+    graft.Bench.runPipeline(spark, rows, cols, tpr)
     spark.catalog.clearCache()
     graft.router.HopCache.clear()
     ScalingBench.onExecutors(spark)(() => { graft.router.HopCache.clear(); 0 })

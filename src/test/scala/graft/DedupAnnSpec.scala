@@ -42,6 +42,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(r == Seq((0L, 1L, 1.0), (0L, 2L, 0.3333), (1L, 2L, 0.3333)))
   }
 
+  test("ngram jaccard: DF cap drops hot grams from sizes AND intersections") {
+    // "a b" is in 3/4 docs; cap = floor(4 * 0.5) = 2 drops it from the
+    // gram universe, so it must count in neither n_inter nor the set
+    // sizes (the consistent filtered-Jaccard). Kept sets: d0{bc,cd},
+    // d1{bc,ce}, d2{bx,xy}, d3{pq} -> only (0,1) share a gram:
+    // 1 / (2 + 2 - 1) = 0.3333. Uncapped the pair would score 0.5 —
+    // this pins the sizes-from-perGram derivation (sizes counted over
+    // KEPT grams only) introduced with the r6 single-pass rewrite.
+    val d = Seq((0L, "a b c d"), (1L, "a b c e"), (2L, "a b x y"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.ngramJaccard(d, threshold = 0.3, dfCapFrac = 0.5)
+      .orderBy($"a", $"b").as[(Long, Long, Double)].collect.toSeq
+    assert(r == Seq((0L, 1L, 0.3333)))
+  }
+
   test("minhash: 8 signature rows per doc, identical docs identical, in range") {
     val mh = DedupOps.minhash(docs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
