@@ -141,17 +141,25 @@ object DedupOps {
       .select($"a", $"b", $"jaccard")
   }
 
-  /** Per-doc wide MinHash row: one min-aggregate per hash function in a
-    * SINGLE groupBy(doc_id) — the gram rows shuffle once, not once per
-    * hash function (the previous crossJoin-with-j plan moved NumHashes x
-    * the gram volume through the exchange for the same result). */
+  private val Bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Per-doc wide MinHash row, fully IN-ROW: the signature is a fold over
+    * the document's own gram-hash array (graft.functions.MinhashSigs —
+    * all NumHashes minima in one codegen pass), so the gram explode AND
+    * the groupBy(doc_id) exchange of the aggregate formulation are gone;
+    * the signature is a projection straight off the scan at any corpus
+    * size. Long min commutes, so values are identical to the old
+    * min-aggregate per hash function. `contains(" ")` replicates the
+    * explode's drop of bigram-less docs (see SigOps scaladoc). */
   private def minhashWide(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = gramHashes(docs)
-    val mins = (1 to NumHashes).map { j =>
-      min((($"h" * (2 * j + 1)) + (j * 12345L)) % MinhashPrime).as(s"mh$j")
-    }
-    g.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val sigs = Bridge.column(graft.functions.MinhashSigs(
+      Bridge.expression(TextOps.bigramHashes($"text", distinct = true)),
+      NumHashes, MinhashPrime))
+    docs.filter($"text".contains(" "))
+      .select($"doc_id", sigs.as("sigs"))
+      .select($"doc_id" +: (1 to NumHashes).map(j =>
+        $"sigs".getItem(j - 1).as(s"mh$j")): _*)
   }
 
   /** MinHash signatures: minhash_j = min((a_j*h + b_j) mod p) for j=1..8,
@@ -203,19 +211,20 @@ object DedupOps {
 
   /** 16-bit SimHash from gram hashes: bit_k set iff sum over grams of
     * (+1 if bit k of h else -1) > 0. Bit test via pure mod arithmetic
-    * ((h mod 2^(k+1)) >= 2^k) so the oracle matches exactly. */
+    * ((h mod 2^(k+1)) >= 2^k) so the oracle matches exactly. IN-ROW
+    * (graft.functions.SimhashBits): the 16 integer counters fold over the
+    * document's own gram array, replacing the gram explode + 16-way
+    * groupBy(doc_id) aggregation — no exchange at all (guide §2.4). */
   def simhash(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = gramHashes(docs)
-    val bits = (0 until 16).map { k =>
-      val p = 1L << k
-      sum(when(($"h" % (2 * p)) >= p, 1).otherwise(-1)).as(s"s$k")
-    }
-    g.groupBy($"doc_id").agg(bits.head, bits.tail: _*)
-      .select($"doc_id",
-        (0 until 16).map { k =>
-          when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+    // coalesce: value-inert after the contains-filter (no null text
+    // reaches the kernel) — it only restores the non-nullable output
+    // schema of the old when/otherwise bit sum, which the driver's
+    // schema check pins.
+    docs.filter($"text".contains(" "))
+      .select($"doc_id", coalesce(Bridge.column(graft.functions.SimhashBits(
+        Bridge.expression(TextOps.bigramHashes($"text", distinct = true)), 16)),
+        lit(0L)).as("simhash"))
   }
 
   /** Embedding near-dup pairs with LSH-bucket blocking: candidates = same

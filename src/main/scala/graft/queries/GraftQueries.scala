@@ -455,15 +455,20 @@ object GraftQueries {
          |FROM documents""".stripMargin),
 
     "q_fingerprint" -> q((s: SparkSession, dir: String) => {
-      // hash-array path (no gram strings, no interpreted zip_with): sum is
-      // order-insensitive, so summing the codegen'd per-doc hash array
-      // matches the exploded-gram groupBy exactly (TextHashSpec pins the
-      // hash equivalence)
+      // fully IN-ROW (graft.functions.GramFingerprint): the fingerprint
+      // is (sum of the doc's own gram hashes mod p + count) mod p — Long
+      // sum is associative, so folding the codegen'd hash array in-row
+      // equals the old explode + groupBy(doc_id) aggregation exactly,
+      // without the gram explode or the exchange (guide §2.4). The
+      // contains-filter replicates the explode's drop of bigram-less
+      // docs (see graft.functions.SigOps).
       import s.implicits._
+      val B = org.apache.spark.sql.graftbridge.ColumnBridge
       read(s, dir, "documents")
-        .select($"doc_id", explode(TextOps.bigramHashes($"text", distinct = false)).as("gh"))
-        .groupBy($"doc_id")
-        .agg(((sum($"gh") % 1000000007L + count(lit(1))) % 1000000007L).as("fingerprint"))
+        .filter($"text".contains(" "))
+        .select($"doc_id", B.column(graft.functions.GramFingerprint(
+          B.expression(TextOps.bigramHashes($"text", distinct = false)),
+          1000000007L)).as("fingerprint"))
         .transform(sortedBy(_, $"doc_id"))
     },
       s"""$bigramWith

@@ -75,6 +75,54 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("in-row signatures equal the exploded-aggregate formulation exactly") {
+    // pins the r6 in-row rewrite (MinhashSigs/SimhashBits/GramFingerprint)
+    // against the legacy explode + groupBy(doc_id) aggregation it
+    // replaced, on multi-byte text and repeated bigrams
+    val d = Seq((0L, "red green blue yellow"), (1L, "ä ö ü ß ä ö"),
+      (2L, "x y x y x"), (3L, "p q")).toDF("doc_id", "text")
+    val g = DedupOps.gramHashes(d) // exploded per-doc DISTINCT hashes
+    val mins = (1 to DedupOps.NumHashes).map { j =>
+      min((($"h" * (2 * j + 1)) + (j * 12345L)) % DedupOps.MinhashPrime).as(s"mh$j")
+    }
+    val oldMh = g.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => (r.getLong(0),
+        (1 to DedupOps.NumHashes).map(j => r.getLong(j)))).toMap
+    val newMh = DedupOps.minhash(d).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(newMh == oldMh.view.mapValues(_.toSeq).toMap)
+
+    val bits = (0 until 16).map { k =>
+      val p = 1L << k
+      sum(when(($"h" % (2 * p)) >= p, 1).otherwise(-1)).as(s"s$k")
+    }
+    val oldSh = g.groupBy($"doc_id").agg(bits.head, bits.tail: _*)
+      .select($"doc_id", (0 until 16).map { k =>
+        when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash")).as[(Long, Long)].collect.toMap
+    assert(DedupOps.simhash(d).as[(Long, Long)].collect.toMap == oldSh)
+
+    val gAll = d.select($"doc_id",
+      explode(graft.text.TextOps.bigramHashes($"text", distinct = false)).as("gh"))
+    val oldFp = gAll.groupBy($"doc_id")
+      .agg(((sum($"gh") % 1000000007L + count(lit(1))) % 1000000007L).as("fingerprint"))
+      .as[(Long, Long)].collect.toMap
+    val B = org.apache.spark.sql.graftbridge.ColumnBridge
+    val newFp = d.filter($"text".contains(" "))
+      .select($"doc_id", B.column(graft.functions.GramFingerprint(
+        B.expression(graft.text.TextOps.bigramHashes($"text", distinct = false)),
+        1000000007L)).as("fingerprint"))
+      .as[(Long, Long)].collect.toMap
+    assert(newFp == oldFp)
+  }
+
+  test("in-row signatures drop bigram-less docs, like the gram explode did") {
+    val d = Seq((0L, "solo"), (1L, ""), (2L, "a b")).toDF("doc_id", "text")
+    assert(DedupOps.minhash(d).select($"doc_id").distinct.as[Long].collect.toSet == Set(2L))
+    assert(DedupOps.simhash(d).select($"doc_id").as[Long].collect.toSet == Set(2L))
+  }
+
   test("simhash: identical equal, disjoint differ, 16-bit range") {
     val sh = DedupOps.simhash(docs).as[(Long, Long)].collect.toMap
     assert(sh(0L) == sh(1L))
