@@ -109,7 +109,7 @@ object AnnOps {
     * anchor table against the corpus — no corpus shuffle; the argmax runs
     * on the 4-decimal-rounded cosine (ties to the lower list id) so the
     * assignment is bit-reproducible in the SQL oracle. */
-  private def ivfAssignFull(vectors: DataFrame, k: Int): DataFrame = {
+  private def ivfAssignFull(vectors: DataFrame, anchors: DataFrame): DataFrame = {
     import vectors.sparkSession.implicits._
     val c = vectors.select($"vec_id", $"embedding".as("cv"),
       norm($"embedding").as("cn"))
@@ -118,7 +118,7 @@ object AnnOps {
     // per vector instead of the K-fanned crossJoin output (cv/cn ride in
     // the struct's tail — identical across a vector's K rows, so they
     // never decide the comparison: list ids are distinct)
-    c.crossJoin(broadcast(ivfAnchors(vectors, k)))
+    c.crossJoin(broadcast(anchors))
       .select($"vec_id", struct(
         round(dot($"cv", $"av") / ($"cn" * $"an"), 4).as("acos"),
         (-$"list_id").as("nl"), $"cv", $"cn").as("s"))
@@ -130,7 +130,7 @@ object AnnOps {
   /** IVF inverted-list assignment: (vec_id, list_id). */
   def ivfAssign(vectors: DataFrame, k: Int): DataFrame = {
     import vectors.sparkSession.implicits._
-    ivfAssignFull(vectors, k).select($"vec_id", $"list_id")
+    ivfAssignFull(vectors, ivfAnchors(vectors, k)).select($"vec_id", $"list_id")
   }
 
   /** IVF ANN: each query probes its nProbe nearest anchors and scans only
@@ -144,14 +144,23 @@ object AnnOps {
     import vectors.sparkSession.implicits._
     val q = queries.select($"vec_id".as("q"), $"embedding".as("qv"),
       norm($"embedding").as("qn"))
+    // anchors behind a lazy checkpoint: the K-row table feeds BOTH the
+    // probe selection and the corpus assignment, and the two broadcast
+    // subtrees are NOT exchange-reused at runtime (verified on the
+    // executed plan: two TakeOrderedAndProject corpus passes) — at corpus
+    // scale that is a full second scan just to re-derive K rows. The
+    // first consumer materializes the blocks; both broadcasts then build
+    // from them. Deterministic input -> identical values.
+    val anch = ivfAnchors(vectors, k).localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val wp = Window.partitionBy($"q").orderBy($"acos".desc, $"list_id")
-    val probes = q.crossJoin(broadcast(ivfAnchors(vectors, k)))
+    val probes = q.crossJoin(broadcast(anch))
       .withColumn("acos", round(dot($"qv", $"av") / ($"qn" * $"an"), 4))
       .withColumn("rk", row_number().over(wp))
       .filter($"rk" <= nProbe)
       .select($"q", $"qv", $"qn", $"list_id")
     val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
-    ivfAssignFull(vectors, k).join(broadcast(probes), "list_id")
+    ivfAssignFull(vectors, anch).join(broadcast(probes), "list_id")
       .filter($"q" =!= $"vec_id")
       .select($"q", $"vec_id".as("neighbor"),
         round(dot($"qv", $"cv") / ($"qn" * $"cn"), 4).as("cos"))
