@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   * is the scale path for graphs too large to collect. */
 object ConnectedComponents {
 
+  /** The RDD a localCheckpoint actually persisted: Dataset.unpersist goes
+    * through the CacheManager, which does NOT track checkpoint blocks, so
+    * freeing a consumed round's state needs the LogicalRDD's own RDD.
+    * Without this, every round's step1/newLabels blocks (O(V) each) lived
+    * until the ContextCleaner happened to GC the dropped references — at
+    * 10^9-node graphs that is rounds x label-table of block storage held
+    * for the whole run. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** edges(a, b) undirected -> (node, comp) with comp = min reachable id.
     * Convergence (changed == 0) is guaranteed within maxRounds for
     * diameters the pointer jumping can halve down in that many rounds;
@@ -48,7 +61,12 @@ object ConnectedComponents {
       val newLabels = jumped.localCheckpoint(false)
       changed = newLabels.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.comp") =!= col("o.comp")).count()
+      // after the count, newLabels holds the round's whole state: free the
+      // consumed inputs at block level — the Dataset-level unpersist (kept
+      // for the round-0 cached labels) is a no-op for checkpoint blocks
       labels.unpersist()
+      checkpointRdd(labels).foreach(_.unpersist(false))
+      checkpointRdd(step1).foreach(_.unpersist(false))
       labels = newLabels
       round += 1
     }

@@ -58,6 +58,21 @@ class PlansSpec extends AnyFunSuite {
     assert(comps(100L) == 100L && comps(101L) == 100L)
   }
 
+  test("connected components free consumed per-round checkpoint blocks") {
+    // Dataset.unpersist is a no-op for localCheckpoint blocks (it goes
+    // through the CacheManager), so before the RDD-level unpersist every
+    // round LEAKED its step1 + previous-labels blocks until a GC ran the
+    // ContextCleaner. The long chain forces several pointer-jumping
+    // rounds; afterwards only the final labels checkpoint (plus nothing
+    // else from this run) may remain persisted.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val labels = ConnectedComponents.run(chain.toDF("a", "b"))
+    assert(labels.count() == 40)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"per-round checkpoint blocks leaked: $leaked")
+  }
+
   test("snapshots: stage computes once, resumes from manifest") {
     val dir = java.nio.file.Files.createTempDirectory("snap").toString
     var computes = 0
