@@ -151,8 +151,10 @@ object AnnOps {
     // scale that is a full second scan just to re-derive K rows. The
     // first consumer materializes the blocks; both broadcasts then build
     // from them. Deterministic input -> identical values.
-    val anch = ivfAnchors(vectors, k).localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val anch =
+      if (graft.plans.PlanAudit.NoBoundaries) ivfAnchors(vectors, k)
+      else ivfAnchors(vectors, k).localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val wp = Window.partitionBy($"q").orderBy($"acos".desc, $"list_id")
     val probes = q.crossJoin(broadcast(anch))
       .withColumn("acos", round(dot($"qv", $"av") / ($"qn" * $"an"), 4))

@@ -26,7 +26,8 @@ object DedupOps {
     * scans labeled with this call site; the lineage above them is in the
     * corresponding `_before.txt` plan dump under plans/r06. */
   private def cpLazy(df: DataFrame): DataFrame =
-    df.localCheckpoint(false,
+    if (graft.plans.PlanAudit.NoBoundaries) df
+    else df.localCheckpoint(false,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Exact dedup: canonical representative per identical text.
