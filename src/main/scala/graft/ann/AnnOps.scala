@@ -151,10 +151,7 @@ object AnnOps {
     // scale that is a full second scan just to re-derive K rows. The
     // first consumer materializes the blocks; both broadcasts then build
     // from them. Deterministic input -> identical values.
-    val anch =
-      if (graft.plans.PlanAudit.NoBoundaries) ivfAnchors(vectors, k)
-      else ivfAnchors(vectors, k).localCheckpoint(false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val anch = graft.plans.PlanAudit.cpLazy(ivfAnchors(vectors, k))
     val wp = Window.partitionBy($"q").orderBy($"acos".desc, $"list_id")
     val probes = q.crossJoin(broadcast(anch))
       .withColumn("acos", round(dot($"qv", $"av") / ($"qn" * $"an"), 4))

@@ -19,16 +19,14 @@ object DedupOps {
   val MinhashPrime = 2147483647L
   val NumHashes = 8
 
-  /** Lazy serialized localCheckpoint (one materialization boundary, no
-    * dedicated job — the first consuming action materializes the blocks;
-    * see Matcher.checkpointSerLazy for the safety argument). In
-    * BenchExtra's explain dumps these boundaries appear as ExistingRDD
-    * scans labeled with this call site; the lineage above them is in the
-    * corresponding `_before.txt` plan dump under plans/r06. */
+  /** Lazy serialized localCheckpoint boundary (graft.plans.PlanAudit:
+    * shared across the dedup/ANN call sites, passed through in audit
+    * mode). In BenchExtra's explain dumps these boundaries appear as
+    * ExistingRDD scans labeled with the call site; the lineage above
+    * them is in the corresponding `_before.txt` plan dump under
+    * plans/r06. */
   private def cpLazy(df: DataFrame): DataFrame =
-    if (graft.plans.PlanAudit.NoBoundaries) df
-    else df.localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    graft.plans.PlanAudit.cpLazy(df)
 
   /** Exact dedup: canonical representative per identical text.
     * (hash-groupBy; at scale this is a single shuffle on the text hash). */

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types._
   * a pushable scan predicate referencing no computed column (filtering on
   * the signature column itself would make the optimizer duplicate the
   * whole hash computation below the pushed filter, guide §4.4). The
-  * kernels therefore never see an empty array from those call sites. */
+  * expressions additionally return NULL for an empty array (the
+  * aggregate formulation produced no row at all), so a future caller
+  * that forgets the filter gets visible nulls instead of a silent
+  * sentinel signature every bigram-less doc would share. */
 object SigOps {
   /** All numHashes MinHash minima in one pass:
     * sig(j-1) = min over h of (h*(2j+1) + j*12345) mod prime, j = 1..n —
@@ -86,11 +89,16 @@ case class MinhashSigs(child: Expression, numHashes: Int, prime: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sigs"
-  override protected def nullSafeEval(a: Any): Any =
-    SigOps.minhashSigs(a.asInstanceOf[ArrayData], numHashes, prime)
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else SigOps.minhashSigs(arr, numHashes, prime)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.SigOps.minhashSigs($c, $numHashes, ${prime}L)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        graft.functions.SigOps.minhashSigs($c, $numHashes, ${prime}L); }""")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -100,11 +108,14 @@ case class SimhashBits(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash_bits"
-  override protected def nullSafeEval(a: Any): Any =
-    SigOps.simhashBits(a.asInstanceOf[ArrayData], bits)
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SigOps.simhashBits(arr, bits)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.SigOps.simhashBits($c, $bits)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.SigOps.simhashBits($c, $bits); }""")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -115,11 +126,14 @@ case class GramFingerprint(child: Expression, prime: Long)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "gram_fingerprint"
-  override protected def nullSafeEval(a: Any): Any =
-    SigOps.fingerprintOf(a.asInstanceOf[ArrayData], prime)
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SigOps.fingerprintOf(arr, prime)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.SigOps.fingerprintOf($c, ${prime}L)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.SigOps.fingerprintOf($c, ${prime}L); }""")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

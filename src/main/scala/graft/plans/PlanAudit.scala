@@ -12,4 +12,15 @@ package graft.plans
   * set it: committed plan dumps keep the executed boundary structure. */
 object PlanAudit {
   @volatile var NoBoundaries: Boolean = false
+
+  /** The shared boundary operator the flag gates: a LAZY serialized
+    * localCheckpoint (no dedicated materialization job — the first
+    * consuming action writes the blocks; serialized so block bytes are
+    * exactly accounted, see Matcher.checkpointSer). Hoisted here so the
+    * audit-mode pass-through cannot drift apart across call sites
+    * (DedupOps gram summaries, AnnOps IVF anchors). */
+  def cpLazy(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (NoBoundaries) df
+    else df.localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 }

@@ -19,6 +19,18 @@ object PhaseAttrib {
     graft.Bench.runPipeline(spark, rows, cols, tpr)
     spark.catalog.clearCache()
     graft.router.HopCache.clear()
+    // reset the kernel/Dijkstra adders so the [kernel] line covers exactly
+    // the measured rep (same discipline as Bench.main and ScalingBench —
+    // full-size warm-ups would otherwise triple every printed counter and
+    // break comparability with their per-rep numbers)
+    graft.router.Dijkstra.Iters.reset()
+    graft.router.MatcherKernel.KernelSolves.reset()
+    graft.router.MatcherKernel.KernelNanos.reset()
+    graft.router.MatcherKernel.KernelCpuNanos.reset()
+    graft.router.MatcherKernel.KernelGroups.reset()
+    graft.router.MatcherKernel.ParamsNanos.reset()
+    graft.router.MatcherKernel.TrieNanos.reset()
+    graft.router.MatcherKernel.MatNanos.reset()
     ScalingBench.onExecutors(spark)(() => { graft.router.HopCache.clear(); 0 })
     val steal0 = graft.Bench.StealMeter.sample()
     val st = graft.Bench.runPipeline(spark, rows, cols, tpr)

@@ -121,6 +121,18 @@ class DedupAnnSpec extends AnyFunSuite {
     val d = Seq((0L, "solo"), (1L, ""), (2L, "a b")).toDF("doc_id", "text")
     assert(DedupOps.minhash(d).select($"doc_id").distinct.as[Long].collect.toSet == Set(2L))
     assert(DedupOps.simhash(d).select($"doc_id").as[Long].collect.toSet == Set(2L))
+    // defensive contract: on an EMPTY gram array (caller forgot the
+    // contains-space filter) the expressions yield null, never a shared
+    // sentinel signature that would make all bigram-less docs collide
+    val B = org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashes = graft.text.TextOps.bigramHashes($"text", distinct = true)
+    val sigs = d.select($"doc_id",
+      B.column(graft.functions.MinhashSigs(B.expression(hashes), 8, DedupOps.MinhashPrime)).as("mh"),
+      B.column(graft.functions.SimhashBits(B.expression(hashes), 16)).as("sh"),
+      B.column(graft.functions.GramFingerprint(B.expression(hashes), 1000000007L)).as("fp"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(sigs(0L) == ((true, true, true)) && sigs(1L) == ((true, true, true)))
+    assert(sigs(2L) == ((false, false, false)))
   }
 
   test("simhash: identical equal, disjoint differ, 16-bit range") {
